@@ -1,0 +1,206 @@
+"""The DDPM engine: forward noising, timestep sampling, and the scan sampler.
+
+One engine replaces the reference's three copy-pasted ``Diffusion`` classes
+(/root/reference/train_diffusion_superres.py:78-511,
+train_diffusion_SAR_TO_NDVI.py:79-503,
+generate_new_imgs/train_diffusion_generation.py:81-503). Semantics preserved:
+
+* q-sample: x_t = sqrt(alpha_hat_t) x0 + sqrt(1 - alpha_hat_t) eps
+  (train_diffusion_superres.py:171-190).
+* training timesteps: uniform ints in [1, noise_steps)
+  (train_diffusion_superres.py:192-205) — index 0 is never used.
+* ancestral sampling: for i = T-1 .. 1,
+  x <- (x - (1-alpha_i)/sqrt(1-alpha_hat_i) * eps_hat) / sqrt(alpha_i)
+       + sqrt(beta_i) * z,   z = 0 at i == 1
+  (train_diffusion_superres.py:207-255).
+* classifier-free guidance: eps = lerp(eps_uncond, eps_cond, cfg_scale)
+  (train_diffusion_generation.py:239-242), computed here with ONE batched
+  model call (cond and uncond stacked along batch) per step.
+
+TPU-first formulation: the reverse process is a single jitted ``lax.scan``
+over the (static-length) timestep sequence — one compilation, no host sync
+per step, schedule gathers on-device. The condition image is broadcast (or
+per-sample, a superset of the reference which only supports one condition
+image per sample() call, train_diffusion_superres.py:224).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from diffusionremotesensing_tpu.schedules import Schedule, make_schedule
+
+__all__ = [
+    "q_sample",
+    "sample_timesteps",
+    "ddpm_step",
+    "make_sampler",
+    "DiffusionProcess",
+]
+
+
+def q_sample(schedule: Schedule, x0: jnp.ndarray, t: jnp.ndarray, key: jax.Array):
+    """Forward noising. Returns (x_t, eps) with eps ~ N(0, I).
+
+    x0: (B, H, W, C); t: (B,) ints.
+    """
+    eps = jax.random.normal(key, x0.shape, dtype=x0.dtype)
+    sqrt_ah = jnp.sqrt(schedule.alpha_hat[t])[:, None, None, None]
+    sqrt_omah = jnp.sqrt(1.0 - schedule.alpha_hat[t])[:, None, None, None]
+    return sqrt_ah * x0 + sqrt_omah * eps, eps
+
+
+def sample_timesteps(key: jax.Array, n: int, noise_steps: int) -> jnp.ndarray:
+    """Uniform timesteps in [1, noise_steps) — matches the reference's range."""
+    return jax.random.randint(key, (n,), 1, noise_steps)
+
+
+def ddpm_step(
+    schedule: Schedule,
+    x: jnp.ndarray,
+    eps_hat: jnp.ndarray,
+    t: jnp.ndarray,
+    noise: jnp.ndarray,
+) -> jnp.ndarray:
+    """One reverse (ancestral) step at scalar timestep t.
+
+    noise must already be zeroed when t == 1 (the sampler handles this).
+    """
+    alpha = schedule.alpha[t]
+    alpha_hat = schedule.alpha_hat[t]
+    beta = schedule.beta[t]
+    coef = (1.0 - alpha) / jnp.sqrt(1.0 - alpha_hat)
+    return (x - coef * eps_hat) / jnp.sqrt(alpha) + jnp.sqrt(beta) * noise
+
+
+def make_sampler(
+    apply_fn: Callable[..., jnp.ndarray],
+    schedule: Schedule,
+    *,
+    cfg_scale: Optional[float] = None,
+    capture_frames: bool = False,
+):
+    """Build a jittable ancestral sampler closed over the model apply fn.
+
+    apply_fn(variables, x, t, cond, cond_mask) -> eps_hat, where t is (B,)
+    and cond may be None / image batch / label batch.
+
+    Returns sample(variables, key, x_T, cond) -> x0 (or (x0, frames) when
+    ``capture_frames``; frames has shape (T-1, B, H, W, C) — the denoising
+    trajectory used by the reference's video/GIF export).
+    """
+    T = schedule.noise_steps
+    ts = jnp.arange(T - 1, 0, -1)
+
+    def sample(variables, key: jax.Array, x_T: jnp.ndarray, cond=None):
+        n = x_T.shape[0]
+
+        if cfg_scale is not None:
+            # Batched CFG: conditioned half (mask 1) + unconditioned half
+            # (mask 0) in one model call, then lerp.
+            def eps_fn(x, t):
+                x2 = jnp.concatenate([x, x], axis=0)
+                t2 = jnp.concatenate([t, t], axis=0)
+                cond2 = jnp.concatenate([cond, cond], axis=0)
+                mask = jnp.concatenate(
+                    [jnp.ones((n,), x.dtype), jnp.zeros((n,), x.dtype)], axis=0
+                )
+                eps2 = apply_fn(variables, x2, t2, cond2, mask)
+                eps_c, eps_u = eps2[:n], eps2[n:]
+                # torch.lerp(uncond, cond, s) = uncond + s*(cond - uncond)
+                return eps_u + cfg_scale * (eps_c - eps_u)
+
+        else:
+
+            def eps_fn(x, t):
+                return apply_fn(variables, x, t, cond, None)
+
+        def step(carry, i):
+            x, k = carry
+            k, k_noise = jax.random.split(k)
+            t = jnp.full((n,), i, dtype=jnp.int32)
+            eps_hat = eps_fn(x, t)
+            z = jax.random.normal(k_noise, x.shape, dtype=x.dtype)
+            z = jnp.where(i > 1, z, jnp.zeros_like(z))
+            x = ddpm_step(schedule, x, eps_hat, i, z)
+            return (x, k), (x if capture_frames else None)
+
+        (x, _), frames = jax.lax.scan(step, (x_T, key), ts)
+        return (x, frames) if capture_frames else x
+
+    return sample
+
+
+class DiffusionProcess:
+    """Convenience wrapper bundling a model apply_fn with a schedule.
+
+    This is the functional core used by the training engine
+    (``diffusionremotesensing_tpu.train.Trainer``) and by inference helpers;
+    it owns no mutable state beyond cached compiled samplers.
+    """
+
+    def __init__(
+        self,
+        noise_schedule: str,
+        apply_fn: Callable[..., jnp.ndarray],
+        noise_steps: int = 1000,
+        beta_start: float = 1e-4,
+        beta_end: float = 0.02,
+        image_size: int = 224,
+        image_channels: int = 3,
+    ):
+        self.noise_steps = noise_steps
+        self.image_size = image_size
+        self.image_channels = image_channels
+        self.apply_fn = apply_fn
+        self.schedule = make_schedule(noise_schedule, noise_steps, beta_start, beta_end)
+        self._samplers: dict[Any, Callable] = {}
+
+    def q_sample(self, x0, t, key):
+        return q_sample(self.schedule, x0, t, key)
+
+    def sample_timesteps(self, key, n):
+        return sample_timesteps(key, n, self.noise_steps)
+
+    def sampler(self, cfg_scale: Optional[float] = None, capture_frames: bool = False):
+        """Return the jitted sampler for the given CFG/frames configuration."""
+        cache_key = (cfg_scale, capture_frames)
+        if cache_key not in self._samplers:
+            fn = make_sampler(
+                self.apply_fn,
+                self.schedule,
+                cfg_scale=cfg_scale,
+                capture_frames=capture_frames,
+            )
+            self._samplers[cache_key] = jax.jit(fn)
+        return self._samplers[cache_key]
+
+    def sample(
+        self,
+        variables,
+        key: jax.Array,
+        n: int,
+        cond=None,
+        cfg_scale: Optional[float] = None,
+        capture_frames: bool = False,
+    ):
+        """Generate n images; mirrors the reference's Diffusion.sample.
+
+        The condition may be a single image (broadcast to n, like the
+        reference) or a per-sample batch of n condition images/labels.
+        """
+        key, k_init = jax.random.split(key)
+        x_T = jax.random.normal(
+            k_init, (n, self.image_size, self.image_size, self.image_channels)
+        )
+        if cond is not None and hasattr(cond, "ndim"):
+            cond = jnp.asarray(cond)
+            if cond.ndim == 3:  # single HWC condition image -> broadcast
+                cond = jnp.broadcast_to(cond[None], (n,) + cond.shape)
+            elif cond.ndim == 0:  # single label
+                cond = jnp.broadcast_to(cond[None], (n,))
+        return self.sampler(cfg_scale, capture_frames)(variables, key, x_T, cond)

@@ -1,0 +1,256 @@
+"""Snapshot save/load and PyTorch checkpoint import.
+
+Snapshot semantics mirror the reference (train_diffusion_superres.py:257-308):
+a single file holding the model state plus the number of epochs run, written
+atomically; the training engine auto-resumes when the file exists. When EMA
+smoothing is enabled, *only the EMA weights* are snapshotted (reference
+:411-412,497-498) — we preserve that.
+
+Native format: msgpack via flax.serialization, holding
+{'MODEL_STATE': {'params': ..., 'batch_stats': ...}, 'EPOCHS_RUN': int}.
+Files are suffixed ``.msgpack`` by convention but any path works; the torch
+importer also accepts the reference's ``snapshot.pt`` so the shipped
+checkpoints can be validated for output parity.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+from flax.core import freeze, unfreeze
+
+
+def save_snapshot(path: str, model_state: Dict[str, Any], epochs_run: int) -> None:
+    """Atomically write {'MODEL_STATE', 'EPOCHS_RUN'} to ``path``."""
+    payload = {
+        "MODEL_STATE": jax.tree_util.tree_map(np.asarray, unfreeze(model_state)),
+        "EPOCHS_RUN": int(epochs_run),
+    }
+    data = serialization.msgpack_serialize(payload)
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def load_snapshot(path: str) -> Tuple[Dict[str, Any], int]:
+    """Load a snapshot; returns (model_state, epochs_run).
+
+    Accepts both the native msgpack format and a PyTorch ``snapshot.pt``
+    (auto-detected), in which case the state_dict is converted to flax
+    variables via :func:`import_torch_state_dict`.
+    """
+    with open(path, "rb") as f:
+        head = f.read(2)
+    if head in (b"PK", b"\x80\x02", b"\x80\x04", b"\x80\x05"):  # torch zip / legacy pickle
+        return load_torch_snapshot(path)
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    state = jax.tree_util.tree_map(jnp.asarray, payload["MODEL_STATE"])
+    return state, int(payload["EPOCHS_RUN"])
+
+
+# ---------------------------------------------------------------------------
+# PyTorch checkpoint import
+# ---------------------------------------------------------------------------
+
+# Mapping from reference torch module names to our flax module paths.
+# Reference naming: /root/reference/UNet_model_superres.py:266-325 (superres),
+# UNet_model_SAR_TO_NDVI.py:263-321 (sar), UNet_model_generation.py:226-284.
+_TORCH_TO_FLAX_PREFIX = {
+    "conv0": ("conv0",),
+    "LR_encoder": ("cond_encoder",),
+    "SAR_encoder": ("cond_encoder",),
+    "conv_upsampled_lr_img": ("conv_cond",),
+    "conv_SAR_img": ("conv_cond",),
+    "bottle_neck": ("bottle_neck",),
+    "output": ("output",),
+    "label_emb": ("label_emb",),
+}
+
+
+def _split_torch_key(key: str):
+    key = key.replace("module.", "")  # DDP prefix strip, like the reference loader
+    return key.split(".")
+
+
+def _assign(tree: dict, path: Tuple[str, ...], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    """torch OIHW conv weight -> flax HWIO."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _convtranspose_kernel(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d IOHW weight -> HWIO kernel of the equivalent
+    forward (input-dilated) conv: flip spatial taps, swap in/out channels."""
+    w = w[:, :, ::-1, ::-1]  # spatial flip
+    return np.transpose(w, (2, 3, 0, 1))  # (kH,kW,I,O): I=torch in, O=torch out
+
+
+def _resconv_entries(flax_name: str, parts, value, params, stats):
+    """Map one ResConvBlock tensor. torch children: time_mlp.{0,2}, conv1.0,
+    batch_norm1/2, conv_upsampled_lr_img, conv2.0, shortcut_conv.0,
+    shortcut_batch_norm."""
+    child = parts[0]
+    v = value
+    if child == "time_mlp":
+        idx, leaf = parts[1], parts[2]
+        sub = "fc1" if idx == "0" else "fc2"
+        if leaf == "weight":
+            _assign(params, (flax_name, "time_mlp", sub, "linear", "kernel"), v.T)
+        else:
+            _assign(params, (flax_name, "time_mlp", sub, "linear", "bias"), v)
+    elif child in ("conv1", "conv2", "shortcut_conv"):
+        # nn.Sequential: index 0 is the conv (BN handled via batch_norm* keys)
+        leaf = parts[2]
+        name = {"conv1": "conv1", "conv2": "conv2", "shortcut_conv": "shortcut_conv"}[child]
+        if leaf == "weight":
+            _assign(params, (flax_name, name, "conv", "kernel"), _conv_kernel(v))
+        elif leaf == "bias":
+            _assign(params, (flax_name, name, "conv", "bias"), v)
+    elif child == "conv_upsampled_lr_img":
+        leaf = parts[1]
+        if leaf == "weight":
+            _assign(params, (flax_name, "conv_skip", "conv", "kernel"), _conv_kernel(v))
+        else:
+            _assign(params, (flax_name, "conv_skip", "conv", "bias"), v)
+    elif child in ("batch_norm1", "batch_norm2", "shortcut_batch_norm"):
+        bn_idx = {"batch_norm1": "BatchNorm_0", "batch_norm2": "BatchNorm_1", "shortcut_batch_norm": "BatchNorm_2"}[child]
+        _bn_entry(params, stats, (flax_name, bn_idx), parts[1], v)
+
+
+def _bn_entry(params, stats, path, leaf, v):
+    if leaf == "weight":
+        _assign(params, path + ("scale",), v)
+    elif leaf == "bias":
+        _assign(params, path + ("bias",), v)
+    elif leaf == "running_mean":
+        _assign(stats, path + ("mean",), v)
+    elif leaf == "running_var":
+        _assign(stats, path + ("var",), v)
+    # num_batches_tracked: dropped
+
+
+def _plain_conv(params, path, leaf, v, transpose=False):
+    if leaf == "weight":
+        kern = _convtranspose_kernel(v) if transpose else _conv_kernel(v)
+        _assign(params, path + ("kernel",) if transpose else path + ("conv", "kernel"), kern)
+    elif leaf == "bias":
+        _assign(params, path + ("bias",) if transpose else path + ("conv", "bias"), v)
+
+
+def _rrdb_entries(parts, value, params, stats):
+    """cond_encoder: torch 'blocks.{i}.conv{1,2}' + 'conv_out'."""
+    child = parts[0]
+    if child == "blocks":
+        i, conv, leaf = parts[1], parts[2], parts[3]
+        _plain_conv(params, ("cond_encoder", f"block{i}", conv), leaf, value)
+    elif child == "conv_out":
+        _plain_conv(params, ("cond_encoder", "conv_out"), parts[1], value)
+
+
+def import_torch_state_dict(state_dict) -> Dict[str, Any]:
+    """Convert a reference torch state_dict to flax variables.
+
+    Works for all three reference model classes (superres / SAR->NDVI /
+    generation); unit consistency is enforced by tests that compare forward
+    passes (tests/test_torch_parity.py).
+    """
+    params: dict = {}
+    stats: dict = {}
+    for key, tensor in state_dict.items():
+        v = np.asarray(tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else tensor)
+        parts = _split_torch_key(key)
+        head = parts[0]
+
+        if head in ("conv0", "conv_upsampled_lr_img", "conv_SAR_img", "output"):
+            flax = _TORCH_TO_FLAX_PREFIX[head][0]
+            _plain_conv(params, (flax,), parts[1], v)
+        elif head in ("LR_encoder", "SAR_encoder"):
+            _rrdb_entries(parts[1:], v, params, stats)
+        elif head == "label_emb":
+            _assign(params, ("label_emb", "embedding"), v)
+        elif head == "conv_blocks":
+            _resconv_entries(f"conv_block{parts[1]}", parts[2:], v, params, stats)
+        elif head == "bottle_neck":
+            _resconv_entries("bottle_neck", parts[1:], v, params, stats)
+        elif head == "downs":
+            _plain_conv(params, (f"down{parts[1]}",), parts[2], v)
+        elif head == "gating_signals":
+            i = parts[1]
+            if parts[2] == "conv":
+                _plain_conv(params, (f"gating{i}", "conv"), parts[3], v)
+            elif parts[2] == "batch_norm":
+                _bn_entry(params, stats, (f"gating{i}", "BatchNorm_0"), parts[3], v)
+        elif head == "attention_blocks":
+            i = parts[1]
+            sub = parts[2]
+            if sub in ("w_g", "w_x", "psi"):
+                _plain_conv(params, (f"attention{i}", sub), parts[4], v)
+            elif sub == "result":
+                if parts[3] == "0":  # conv
+                    _plain_conv(params, (f"attention{i}", "result_conv"), parts[4], v)
+                else:  # BatchNorm at index 1
+                    _bn_entry(params, stats, (f"attention{i}", "BatchNorm_0"), parts[4], v)
+        elif head == "ups":
+            i = parts[1]
+            sub = parts[2]
+            if sub == "time_mlp":
+                idx, leaf = parts[3], parts[4]
+                fc = "fc1" if idx == "0" else "fc2"
+                if leaf == "weight":
+                    _assign(params, (f"up{i}", "time_mlp", fc, "linear", "kernel"), v.T)
+                else:
+                    _assign(params, (f"up{i}", "time_mlp", fc, "linear", "bias"), v)
+            elif sub == "conv":
+                _plain_conv(params, (f"up{i}", "conv"), parts[3], v)
+            elif sub == "batch_norm":
+                _bn_entry(params, stats, (f"up{i}", "BatchNorm_0"), parts[3], v)
+            elif sub == "transform":
+                leaf = parts[3]
+                if leaf == "weight":
+                    _assign(params, (f"up{i}", "transform", "kernel"), _convtranspose_kernel(v))
+                else:
+                    _assign(params, (f"up{i}", "transform", "bias"), v)
+        elif head == "up_convs":
+            _plain_conv(params, (f"up_conv{parts[1]}",), parts[2], v)
+        else:
+            raise KeyError(f"Unrecognized torch checkpoint key: {key}")
+
+    return {
+        "params": jax.tree_util.tree_map(jnp.asarray, params),
+        "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats),
+    }
+
+
+def load_torch_snapshot(path: str) -> Tuple[Dict[str, Any], int]:
+    """Load a reference ``snapshot.pt`` {'MODEL_STATE', 'EPOCHS_RUN'}."""
+    import torch
+
+    snap = torch.load(path, map_location="cpu", weights_only=False)
+    state = import_torch_state_dict(snap["MODEL_STATE"])
+    return state, int(snap.get("EPOCHS_RUN", 0))
+
+
+def export_torch_state_dict(variables) -> Dict[str, Any]:
+    """Inverse of :func:`import_torch_state_dict` (for round-trip tests and
+    for users migrating back)."""
+    raise NotImplementedError("export is planned; import covers parity testing")
