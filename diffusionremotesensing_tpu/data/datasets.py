@@ -1,0 +1,246 @@
+"""Datasets for the three tasks, emitting NHWC float32 dict-items.
+
+Mirrors /root/reference/utils.py:40-255 and the generation launcher's
+ImageFolder path (generate_new_imgs/train_diffusion_generation.py:566-586).
+Items are dicts so the training engine is task-agnostic:
+
+* superres:   {'x': hr (H,W,C), 'cond': lr (H/mag, W/mag, C)}
+* SAR->NDVI:  {'x': ndvi (H,W,1), 'cond': sar (H,W,2)}
+* generation: {'x': img (H,W,C), 'cond': int label}
+
+All image data is float32 in [0, 1] (ToTensor semantics), channel-last.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image, ImageFilter
+
+from diffusionremotesensing_tpu.data.degradations import (
+    _Rng,
+    degradation_bsrgan_plus,
+    imread_uint,
+    single2uint,
+    soft_degradation_bsrgan,
+    uint2single,
+)
+
+_IMG_EXTS = {".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".webp"}
+
+
+def _to_float_hwc(img: Image.Image) -> np.ndarray:
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
+def _load_any(path: str, data_format: str) -> Image.Image:
+    """Load an image in the reference's three accepted formats as PIL."""
+    if data_format == "PIL":
+        return Image.open(path)
+    if data_format == "numpy":
+        y = np.load(path)
+        return Image.fromarray((y * 255).astype(np.uint8))
+    if data_format == "torch":
+        import torch
+
+        t = torch.load(path)  # CHW float
+        arr = (t.numpy().transpose(1, 2, 0) * 255).astype(np.uint8)
+        return Image.fromarray(arr.squeeze())
+    raise ValueError(f"unknown data_format {data_format!r}")
+
+
+class SuperresDownBlurDataset:
+    """HR image -> (bicubic downsample / mag, Gaussian blur[, noise]) LR pair.
+
+    Parity with get_data_superres (/root/reference/utils.py:93-166): PIL
+    bilinear Resize to image_size, PIL bicubic downsample by the
+    magnification factor, PIL GaussianBlur. ``blur_radius='random'`` draws
+    from triangular(0.5, 1.5, mode=1) ONCE and freezes it for the whole
+    dataset — the reference overwrites its attribute on first access
+    (utils.py:151-152); we reproduce that (documented) behavior eagerly.
+    """
+
+    def __init__(
+        self,
+        root_dir: str,
+        magnification_factor: int,
+        blur_radius=0.5,
+        gauss_noise: bool = False,
+        data_format: str = "PIL",
+        image_size: Optional[int] = None,
+        seed: int = 0,
+    ):
+        self.root_dir = root_dir
+        self.magnification_factor = magnification_factor
+        self.gauss_noise = gauss_noise
+        self.data_format = data_format
+        self.image_size = image_size
+        self.filenames = sorted(os.listdir(root_dir))
+        self._rng = _Rng(seed)
+        if blur_radius == "random":
+            blur_radius = self._rng.py.triangular(0.5, 1.5, 1)
+        self.blur_radius = float(blur_radius)
+
+    def __len__(self) -> int:
+        return len(self.filenames)
+
+    def __getitem__(self, idx: int):
+        y = _load_any(os.path.join(self.root_dir, self.filenames[idx]), self.data_format)
+        y = y.convert("RGB") if y.mode not in ("RGB", "L") else y
+        if self.image_size is not None:
+            y = y.resize((self.image_size, self.image_size), Image.BILINEAR)
+        mag = self.magnification_factor
+        x = y.resize((y.size[0] // mag, y.size[1] // mag), Image.BICUBIC)
+        x = x.filter(ImageFilter.GaussianBlur(self.blur_radius))
+        x_arr = _to_float_hwc(x)
+        if self.gauss_noise:
+            x_arr = self._add_gaussian_noise(x_arr, 2, 10)
+        return {"x": _to_float_hwc(y), "cond": x_arr}
+
+    def _add_gaussian_noise(self, img: np.ndarray, level1: int, level2: int) -> np.ndarray:
+        """3-mode noise (color/gray/channel-correlated), as utils.py:15-38."""
+        from scipy.linalg import orth
+
+        rng = self._rng
+        level = rng.randint(level1, level2)
+        r = rng.np_rand()
+        h, w = img.shape[:2]
+        if r > 0.6:
+            img = img + rng.np_normal(0, level / 255.0, img.shape).astype(np.float32)
+        elif r < 0.4:
+            img = img + rng.np_normal(0, level / 255.0, (h, w, 1)).astype(np.float32)
+        else:
+            L = level2 / 255.0
+            D = np.diag(rng.np_uniform(size=3))
+            U = orth(rng.np_uniform(size=(3, 3)))
+            cov = np.abs(L**2 * (U.T @ D @ U))
+            img = img + rng.np_multivariate_normal(np.zeros(3), cov, (h, w)).astype(np.float32)
+        return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
+class SuperresBSRGANDataset:
+    """Eagerly degrades every file x num_crops with the BSRGAN(+) pipeline and
+    holds all (lr, hr) pairs in RAM, shuffled — matching the reference's eager
+    ctor (utils.py:168-255). Optionally dumps PNG pairs to ``destination_folder``."""
+
+    def __init__(
+        self,
+        root_dir: str,
+        magnification_factor: int,
+        model_input_size: int,
+        num_crops: int = 1,
+        degradation_type: str = "BSR_plus",
+        destination_folder: Optional[str] = None,
+        seed: int = 0,
+    ):
+        rng = _Rng(seed)
+        lrs, hrs = [], []
+        filenames = sorted(os.listdir(root_dir))
+        for name in filenames:
+            path = os.path.join(root_dir, name)
+            for _ in range(num_crops):
+                hq = uint2single(imread_uint(path, 3))
+                if degradation_type == "BSR_plus":
+                    lq, hq = degradation_bsrgan_plus(
+                        hq, sf=magnification_factor, lq_patchsize=model_input_size, rng=rng
+                    )
+                elif degradation_type == "soft_BSR_plus":
+                    lq, hq = soft_degradation_bsrgan(
+                        hq, sf=magnification_factor, lq_patchsize=model_input_size, rng=rng
+                    )
+                else:
+                    raise ValueError("degradation_type must be 'BSR_plus' or 'soft_BSR_plus'")
+                # uint8 quantize round-trip, like the reference's
+                # single2uint -> ToTensor (utils.py:213-218)
+                lrs.append(uint2single(single2uint(lq)))
+                hrs.append(uint2single(single2uint(hq)))
+        order = rng.sample(range(len(lrs)), len(lrs))
+        self.lr_images = [lrs[i] for i in order]
+        self.hr_images = [hrs[i] for i in order]
+        if destination_folder is not None:
+            self._save(destination_folder)
+
+    def _save(self, folder: str) -> None:
+        os.makedirs(os.path.join(folder, "lr"), exist_ok=True)
+        os.makedirs(os.path.join(folder, "hr"), exist_ok=True)
+        for i, (lq, hq) in enumerate(zip(self.lr_images, self.hr_images)):
+            Image.fromarray(single2uint(lq)).save(os.path.join(folder, "lr", f"x_{i}.png"))
+            Image.fromarray(single2uint(hq)).save(os.path.join(folder, "hr", f"y_{i}.png"))
+
+    def __len__(self) -> int:
+        return len(self.lr_images)
+
+    def __getitem__(self, idx: int):
+        return {"x": self.hr_images[idx], "cond": self.lr_images[idx]}
+
+
+class SarToNdviDataset:
+    """Paired <root>/{sar,opt}/<same-filename> items; inputs in [-1, 1] are
+    rescaled to [0, 1] (utils.py:87-89). Supports .pt / .npy / image files."""
+
+    def __init__(self, root_dir: str, data_format: str = "torch"):
+        self.sar_path = os.path.join(root_dir, "sar")
+        self.opt_path = os.path.join(root_dir, "opt")
+        self.filenames = sorted(os.listdir(self.sar_path))
+        self.data_format = data_format
+
+    def __len__(self) -> int:
+        return len(self.filenames)
+
+    def _load(self, path: str) -> np.ndarray:
+        if self.data_format == "torch":
+            import torch
+
+            t = torch.load(path)
+            arr = t.numpy()
+            return arr.transpose(1, 2, 0) if arr.ndim == 3 else arr[:, :, None]
+        if self.data_format == "numpy":
+            arr = np.load(path).astype(np.float32)
+            return arr.transpose(1, 2, 0) if arr.ndim == 3 and arr.shape[0] <= 4 else arr
+        img = Image.open(path)
+        return _to_float_hwc(img) * 2.0 - 1.0  # PIL path: map to [-1,1] first
+
+    def __getitem__(self, idx: int):
+        sar = self._load(os.path.join(self.sar_path, self.filenames[idx]))
+        ndvi = self._load(os.path.join(self.opt_path, self.filenames[idx]))
+        sar = (np.asarray(sar, np.float32) + 1.0) / 2.0
+        ndvi = (np.asarray(ndvi, np.float32) + 1.0) / 2.0
+        return {"x": ndvi, "cond": sar}
+
+
+class ImageFolderDataset:
+    """Class-per-subfolder image dataset (torchvision.datasets.ImageFolder
+    semantics: classes sorted alphabetically, labels = class index)."""
+
+    def __init__(self, root_dir: str, image_size: Optional[int] = None):
+        self.root_dir = root_dir
+        self.classes = sorted(
+            d for d in os.listdir(root_dir) if os.path.isdir(os.path.join(root_dir, d))
+        )
+        self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
+        self.samples: list[Tuple[str, int]] = []
+        for c in self.classes:
+            cdir = os.path.join(root_dir, c)
+            for f in sorted(os.listdir(cdir)):
+                if os.path.splitext(f)[1].lower() in _IMG_EXTS:
+                    self.samples.append((os.path.join(cdir, f), self.class_to_idx[c]))
+        self.image_size = image_size
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.classes)
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def __getitem__(self, idx: int):
+        path, label = self.samples[idx]
+        img = Image.open(path).convert("RGB")
+        if self.image_size is not None:
+            img = img.resize((self.image_size, self.image_size), Image.BILINEAR)
+        return {"x": _to_float_hwc(img), "cond": np.int32(label)}

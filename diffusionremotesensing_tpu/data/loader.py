@@ -1,0 +1,83 @@
+"""Minimal host-side data loader producing NHWC numpy dict-batches.
+
+Replaces torch DataLoader + DistributedSampler in the reference launchers
+(train_diffusion_superres.py:630-635). Features actually used there:
+shuffling, batching (keep last partial batch), distributed sharding by rank
+with per-epoch reseeding (``set_epoch``), plus one TPU-specific addition:
+``pad_to_multiple`` so every batch's leading dim is divisible by the mesh
+size (required for even sharding; the pad rows are repeats of real samples
+and a 'pad_mask' is attached when padding happens).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_shards: int = 1,
+        shard_index: int = 0,
+        pad_to_multiple: Optional[int] = None,
+        drop_last: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.pad_to_multiple = pad_to_multiple
+        self.drop_last = drop_last
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reseed the shuffle per epoch (DistributedSampler.set_epoch parity)."""
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self._shard_indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _shard_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        return idx[self.shard_index :: self.num_shards]
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        idx = self._shard_indices()
+        bs = self.batch_size
+        stop = len(idx) - (len(idx) % bs) if self.drop_last else len(idx)
+        for start in range(0, stop, bs):
+            chunk = idx[start : start + bs]
+            items = [self.dataset[int(i)] for i in chunk]
+            yield self._collate(items)
+
+    def _collate(self, items: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
+        batch = {
+            k: np.stack([np.asarray(it[k]) for it in items]) for k in items[0]
+        }
+        m = self.pad_to_multiple
+        if m:
+            n = len(items)
+            rem = (-n) % m
+            if rem:
+                batch = {
+                    k: np.concatenate([v, v[:rem]], axis=0) for k, v in batch.items()
+                }
+                batch["pad_mask"] = np.concatenate(
+                    [np.ones(n, np.float32), np.zeros(rem, np.float32)]
+                )
+        return batch

@@ -119,14 +119,22 @@ def _resconv_entries(flax_name: str, parts, value, params, stats):
         else:
             _assign(params, (flax_name, "time_mlp", sub, "linear", "bias"), v)
     elif child in ("conv1", "conv2", "shortcut_conv"):
-        # nn.Sequential: index 0 is the conv (BN handled via batch_norm* keys)
-        leaf = parts[2]
-        name = {"conv1": "conv1", "conv2": "conv2", "shortcut_conv": "shortcut_conv"}[child]
-        if leaf == "weight":
-            _assign(params, (flax_name, name, "conv", "kernel"), _conv_kernel(v))
-        elif leaf == "bias":
-            _assign(params, (flax_name, name, "conv", "bias"), v)
-    elif child == "conv_upsampled_lr_img":
+        # nn.Sequential [conv, BN(, relu)]: index 0 is the conv; index 1 is
+        # the same BatchNorm object the reference ALSO registers directly as
+        # batch_norm1/2 / shortcut_batch_norm, so the state_dict carries each
+        # BN tensor twice — both spellings land on the same flax BN.
+        idx, leaf = parts[1], parts[2]
+        if idx == "0":
+            if leaf == "weight":
+                _assign(params, (flax_name, child, "conv", "kernel"), _conv_kernel(v))
+            elif leaf == "bias":
+                _assign(params, (flax_name, child, "conv", "bias"), v)
+        else:
+            bn_idx = {"conv1": "BatchNorm_0", "conv2": "BatchNorm_1", "shortcut_conv": "BatchNorm_2"}[child]
+            _bn_entry(params, stats, (flax_name, bn_idx), leaf, v)
+    elif child in ("conv_upsampled_lr_img", "conv_SAR_img", "conv_skip"):
+        # the per-block skip conv is named differently per task variant
+        # (superres / SAR->NDVI / generation reference files)
         leaf = parts[1]
         if leaf == "weight":
             _assign(params, (flax_name, "conv_skip", "conv", "kernel"), _conv_kernel(v))

@@ -1,0 +1,75 @@
+"""Device-mesh data parallelism: the TPU-native replacement for DDP/NCCL.
+
+The reference parallelizes with single-flag PyTorch DDP over NCCL
+(init_process_group / DistributedSampler / DDP wrap / rank-0 guards,
+/root/reference/train_diffusion_superres.py:584-676). Here the same single
+flag builds a 1-axis ``jax.sharding.Mesh`` over all local (or all global)
+devices; parameters are replicated, the batch is sharded along ``data``, and
+XLA inserts the gradient all-reduce over ICI automatically from the sharding
+of the jitted train step — no explicit collectives, no process launcher for
+single-host multi-chip.
+
+Multi-host: call :func:`initialize_distributed` (jax.distributed.initialize)
+once per process before creating the mesh; ``is_main_process`` replaces the
+reference's ``self.device == 0`` rank-0 guards for checkpoint/preview writes.
+
+Note on BatchNorm: the reference's DDP does NOT synchronize BN statistics
+across replicas. Under sharded jit, batch statistics are computed over the
+*global* batch (XLA reduces over the mesh) — i.e. SyncBN behavior, which is
+deterministic w.r.t. device count modulo batch order. Single-device runs are
+bit-comparable with the reference semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host setup (no-op on single host). Mirrors torchrun+NCCL init."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError):
+        pass  # already initialized or single-process
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis_name: str = "data") -> Mesh:
+    """1-axis data-parallel mesh over the given (default: all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Leading-axis sharding for batches."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    """Fully replicated sharding (parameters, schedules, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Optional[Mesh], axis_name: str = "data"):
+    """Place a pytree of host arrays onto the mesh, sharded along axis 0.
+
+    Pads nothing: callers must make the leading dim divisible by the mesh
+    size (the data loader handles this).
+    """
+    if mesh is None:
+        return batch
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding) if hasattr(x, "ndim") and x.ndim > 0
+        else jax.device_put(x, replicated_sharding(mesh)),
+        batch,
+    )
+
+
+def is_main_process() -> bool:
+    """Rank-0 guard for snapshot/preview writes (reference self.device==0)."""
+    return jax.process_index() == 0

@@ -1,0 +1,141 @@
+"""Training engine: EMA semantics, snapshot round-trip, end-to-end slice."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusionremotesensing_tpu import io as dio
+from diffusionremotesensing_tpu.data.loader import DataLoader
+from diffusionremotesensing_tpu.ema import ema_update
+from diffusionremotesensing_tpu.models.unet import (
+    init_unet_params,
+    residual_attention_unet_generation,
+)
+from diffusionremotesensing_tpu.train import Trainer
+
+
+class SyntheticGenDataset:
+    """Tiny in-memory class-conditional dataset (label = brightness level)."""
+
+    def __init__(self, n=16, size=16, num_classes=2, seed=0):
+        rng = np.random.default_rng(seed)
+        self.items = []
+        for i in range(n):
+            label = i % num_classes
+            base = 0.25 + 0.5 * label
+            img = np.clip(base + 0.05 * rng.standard_normal((size, size, 3)), 0, 1)
+            self.items.append({"x": img.astype(np.float32), "cond": np.int32(label)})
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+def test_ema_warmup_copies_then_decays():
+    p0 = {"w": jnp.zeros((3,))}
+    online = {"w": jnp.ones((3,))}
+    # during warmup (step < 2000): copy
+    out = ema_update(p0, online, jnp.asarray(10))
+    np.testing.assert_allclose(np.asarray(out["w"]), 1.0)
+    # after warmup: 0.995 * old + 0.005 * new
+    out = ema_update(p0, online, jnp.asarray(2000))
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.005, rtol=1e-6)
+
+
+def _make_trainer(tmp_path, ema=False, **kw):
+    model = residual_attention_unet_generation(num_classes=2)
+    trainer = Trainer(
+        model,
+        noise_schedule="linear",
+        noise_steps=20,
+        image_size=16,
+        snapshot_path=os.path.join(tmp_path, "snapshot.msgpack"),
+        lr=1e-3,
+        loss="MSE",
+        ema_smoothing=ema,
+        label_dropout=0.1,
+        **kw,
+    )
+    variables = init_unet_params(model, jax.random.PRNGKey(0), image_size=16)
+    return trainer, trainer.init_state(variables)
+
+
+def test_end_to_end_training_reduces_loss(tmp_path):
+    trainer, state = _make_trainer(str(tmp_path))
+    ds = SyntheticGenDataset()
+    loader = DataLoader(ds, batch_size=8, shuffle=True)
+    step = trainer._build_train_step()
+    losses = []
+    for epoch in range(6):
+        loader.set_epoch(epoch)
+        ep = []
+        for batch in loader:
+            batch = trainer._prep_batch(batch)
+            state, loss = step(state, batch, trainer.next_key())
+            ep.append(float(loss))
+        losses.append(np.mean(ep))
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+    assert int(state.step) == 12
+
+
+def test_train_loop_snapshot_and_resume(tmp_path):
+    trainer, state = _make_trainer(str(tmp_path))
+    ds = SyntheticGenDataset(n=8)
+    loader = DataLoader(ds, batch_size=8)
+    state = trainer.train(state, epochs=2, train_loader=loader, check_preds_epoch=1, verbose=False)
+    assert os.path.exists(trainer.snapshot_path)
+
+    # a fresh trainer auto-resumes epochs_run from the snapshot
+    trainer2, state2 = _make_trainer(str(tmp_path))
+    state2 = trainer2.maybe_resume(state2)
+    assert trainer2.epochs_run == 1  # last check_preds save was at epoch 1
+    # resumed params equal the saved ones
+    saved, _ = dio.load_snapshot(trainer.snapshot_path)
+    a = jax.tree_util.tree_leaves(saved["params"])
+    b = jax.tree_util.tree_leaves(state2.params)
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
+
+
+def test_ema_snapshot_saves_ema_params(tmp_path):
+    trainer, state = _make_trainer(str(tmp_path), ema=True)
+    ds = SyntheticGenDataset(n=8)
+    loader = DataLoader(ds, batch_size=8)
+    state = trainer.train(state, epochs=1, train_loader=loader, check_preds_epoch=1, verbose=False)
+    saved, _ = dio.load_snapshot(trainer.snapshot_path)
+    # during warmup EMA == online params, so the snapshot equals them
+    a = jax.tree_util.tree_leaves(saved["params"])
+    b = jax.tree_util.tree_leaves(jax.device_get(state.ema_params))
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
+
+
+def test_validation_early_stopping(tmp_path):
+    trainer, state = _make_trainer(str(tmp_path))
+    ds = SyntheticGenDataset(n=8)
+    loader = DataLoader(ds, batch_size=8)
+    # patience=1 with an un-improving (random-walk) tiny run stops quickly
+    state = trainer.train(
+        state, epochs=50, train_loader=loader, val_loader=loader,
+        check_preds_epoch=100, patience=1, verbose=False,
+    )
+    # must have stopped long before 50 epochs (early stopping fired)
+    assert os.path.exists(trainer.snapshot_path)
+
+
+def test_trainer_sample_shape(tmp_path):
+    trainer, state = _make_trainer(str(tmp_path))
+    out = trainer.sample(state, n=2, cond=jnp.array([0, 1]), cfg_scale=3.0)
+    assert out.shape == (2, 16, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_snapshot_roundtrip(tmp_path):
+    path = os.path.join(str(tmp_path), "snap.msgpack")
+    state = {"params": {"a": jnp.arange(4.0)}, "batch_stats": {"b": jnp.ones((2,))}}
+    dio.save_snapshot(path, state, 7)
+    loaded, epochs = dio.load_snapshot(path)
+    assert epochs == 7
+    np.testing.assert_allclose(np.asarray(loaded["params"]["a"]), np.arange(4.0))
