@@ -83,11 +83,17 @@ def make_sampler(
     *,
     cfg_scale: Optional[float] = None,
     capture_frames: bool = False,
+    encode_cond_fn: Optional[Callable] = None,
 ):
     """Build a jittable ancestral sampler closed over the model apply fn.
 
-    apply_fn(variables, x, t, cond, cond_mask) -> eps_hat, where t is (B,)
-    and cond may be None / image batch / label batch.
+    apply_fn(variables, x, t, cond, cond_mask, cond_features=None) -> eps_hat,
+    where t is (B,) and cond may be None / image batch / label batch.
+
+    When ``encode_cond_fn(variables, cond) -> features`` is given (image-
+    conditioned models), the condition stem is computed ONCE per sample call
+    and the loop-invariant features are fed into every scan step — the
+    reference recomputes its RRDB+upsample+conv stem in all T-1 forwards.
 
     Returns sample(variables, key, x_T, cond) -> x0 (or (x0, frames) when
     ``capture_frames``; frames has shape (T-1, B, H, W, C) — the denoising
@@ -98,6 +104,9 @@ def make_sampler(
 
     def sample(variables, key: jax.Array, x_T: jnp.ndarray, cond=None):
         n = x_T.shape[0]
+        feats = None
+        if encode_cond_fn is not None and cond is not None:
+            feats = encode_cond_fn(variables, cond)
 
         if cfg_scale is not None:
             # Batched CFG: conditioned half (mask 1) + unconditioned half
@@ -113,6 +122,11 @@ def make_sampler(
                 eps_c, eps_u = eps2[:n], eps2[n:]
                 # torch.lerp(uncond, cond, s) = uncond + s*(cond - uncond)
                 return eps_u + cfg_scale * (eps_c - eps_u)
+
+        elif encode_cond_fn is not None:
+
+            def eps_fn(x, t):
+                return apply_fn(variables, x, t, cond, None, feats)
 
         else:
 
@@ -152,11 +166,13 @@ class DiffusionProcess:
         beta_end: float = 0.02,
         image_size: int = 224,
         image_channels: int = 3,
+        encode_cond_fn: Optional[Callable] = None,
     ):
         self.noise_steps = noise_steps
         self.image_size = image_size
         self.image_channels = image_channels
         self.apply_fn = apply_fn
+        self.encode_cond_fn = encode_cond_fn
         self.schedule = make_schedule(noise_schedule, noise_steps, beta_start, beta_end)
         self._samplers: dict[Any, Callable] = {}
 
@@ -175,6 +191,7 @@ class DiffusionProcess:
                 self.schedule,
                 cfg_scale=cfg_scale,
                 capture_frames=capture_frames,
+                encode_cond_fn=self.encode_cond_fn,
             )
             self._samplers[cache_key] = jax.jit(fn)
         return self._samplers[cache_key]

@@ -70,69 +70,108 @@ class ResidualAttentionUNet(nn.Module):
     up_channels: Tuple[int, ...] = (256, 128, 64, 32, 16)
     dtype: Optional[jnp.dtype] = None
 
-    @nn.compact
-    def __call__(self, x, t, cond=None, cond_mask=None, train: bool = False):
+    def setup(self):
         dc, uc = self.down_channels, self.up_channels
+        self.conv0 = TorchConv(dc[0], 3, dtype=self.dtype)
+        if self.conditioning in ("superres", "sar"):
+            self.cond_encoder = RRDB(num_blocks=3, dtype=self.dtype)
+            self.conv_cond = TorchConv(dc[0], 3, dtype=self.dtype)
+        if self.conditioning == "class" and self.num_classes is not None:
+            self.label_emb = nn.Embed(
+                num_embeddings=self.num_classes,
+                features=self.time_emb_dim,
+                # torch nn.Embedding default is N(0, 1)
+                embedding_init=nn.initializers.normal(stddev=1.0),
+            )
+        self.conv_blocks = [
+            ResConvBlock(dc[i + 1], dtype=self.dtype, name=f"conv_block{i}")
+            for i in range(len(dc) - 2)
+        ]
+        self.downs = [
+            TorchConv(dc[i + 1], 3, stride=2, dtype=self.dtype, name=f"down{i}")
+            for i in range(len(dc) - 2)
+        ]
+        self.bottle_neck = ResConvBlock(dc[-1], dtype=self.dtype)
+        self.gatings = [
+            GatingSignal(uc[i + 1], dtype=self.dtype, name=f"gating{i}")
+            for i in range(len(uc) - 2)
+        ]
+        self.attentions = [
+            AttentionGate(uc[i + 1], dtype=self.dtype, name=f"attention{i}")
+            for i in range(len(uc) - 2)
+        ]
+        self.ups = [
+            UpConvBlock(uc[i], dtype=self.dtype, name=f"up{i}") for i in range(len(uc) - 2)
+        ]
+        self.up_convs = [
+            TorchConv(uc[i + 1], 3, dtype=self.dtype, name=f"up_conv{i}")
+            for i in range(len(uc) - 2)
+        ]
+        self.output = TorchConv(self.out_dim, 1, dtype=self.dtype)
+
+    def encode_cond(self, cond):
+        """Condition-image stem: RRDB encode (+bicubic upsample for superres)
+        + 3x3 conv to stem width. Loop-invariant during sampling — call once
+        via ``apply(..., method='encode_cond')`` and pass the result as
+        ``cond_features`` to skip recomputing it in every scan step."""
+        if self.conditioning not in ("superres", "sar"):
+            raise ValueError("encode_cond applies to image-conditioned variants")
+        c = self.cond_encoder(cond)
+        if self.conditioning == "superres":
+            if self.magnification_factor is None:
+                raise ValueError("superres conditioning requires magnification_factor")
+            c = upsample_bicubic(c, self.magnification_factor)
+        return self.conv_cond(c)
+
+    def __call__(
+        self, x, t, cond=None, cond_mask=None, train: bool = False, cond_features=None
+    ):
         t_emb = sinusoidal_time_embedding(t, self.time_emb_dim)
 
         if self.conditioning == "class" and self.num_classes is not None:
-            emb_table = nn.Embed(
-                num_embeddings=self.num_classes,
-                features=self.time_emb_dim,
-                embedding_init=nn.initializers.normal(stddev=1.0),  # torch nn.Embedding default N(0,1)
-                name="label_emb",
-            )
             if cond is not None:
-                lab = emb_table(cond.astype(jnp.int32))
+                lab = self.label_emb(cond.astype(jnp.int32))
                 if cond_mask is not None:
                     lab = lab * cond_mask.astype(lab.dtype)[:, None]
                 t_emb = t_emb + lab
             elif self.is_initializing():
-                _ = emb_table(jnp.zeros((1,), jnp.int32))
+                _ = self.label_emb(jnp.zeros((1,), jnp.int32))
         if self.dtype is not None:
             t_emb = t_emb.astype(self.dtype)
 
         # INITIAL PROJECTION
-        h = TorchConv(dc[0], 3, dtype=self.dtype, name="conv0")(x)
+        h = self.conv0(x)
 
         # IMAGE-CONDITION ENCODER (superres / sar)
         if self.conditioning in ("superres", "sar"):
-            if cond is None:
-                raise ValueError(f"conditioning={self.conditioning!r} requires a condition image")
-            c = RRDB(num_blocks=3, dtype=self.dtype, name="cond_encoder")(cond)
-            if self.conditioning == "superres":
-                if self.magnification_factor is None:
-                    raise ValueError("superres conditioning requires magnification_factor")
-                c = upsample_bicubic(c, self.magnification_factor)
-            c = TorchConv(dc[0], 3, dtype=self.dtype, name="conv_cond")(c)
-            h = h + c
+            if cond_features is None:
+                if cond is None:
+                    raise ValueError(f"conditioning={self.conditioning!r} requires a condition image")
+                cond_features = self.encode_cond(cond)
+            h = h + cond_features
 
         x_skip = h
 
         # DOWN PATH
         residual_inputs = []
-        for i in range(len(dc) - 2):
-            h = ResConvBlock(dc[i + 1], dtype=self.dtype, name=f"conv_block{i}")(
-                h, t_emb, x_skip if i == 0 else None, train=train
-            )
+        for i, (block, down) in enumerate(zip(self.conv_blocks, self.downs)):
+            h = block(h, t_emb, x_skip if i == 0 else None, train=train)
             residual_inputs.append(h)
-            h = TorchConv(dc[i + 1], 3, stride=2, dtype=self.dtype, name=f"down{i}")(h)
+            h = down(h)
 
         # BOTTLENECK
-        h = ResConvBlock(dc[-1], dtype=self.dtype, name="bottle_neck")(h, t_emb, None, train=train)
+        h = self.bottle_neck(h, t_emb, None, train=train)
 
         # UP PATH
-        for i in range(len(uc) - 2):
-            g = GatingSignal(uc[i + 1], dtype=self.dtype, name=f"gating{i}")(h, train=train)
-            attn = AttentionGate(uc[i + 1], dtype=self.dtype, name=f"attention{i}")(
-                residual_inputs[-(i + 1)], g, train=train
-            )
-            h = UpConvBlock(uc[i], dtype=self.dtype, name=f"up{i}")(h, t_emb, train=train)
+        for i in range(len(self.ups)):
+            g = self.gatings[i](h, train=train)
+            attn = self.attentions[i](residual_inputs[-(i + 1)], g, train=train)
+            h = self.ups[i](h, t_emb, train=train)
             h = jnp.concatenate([h, attn], axis=-1)
-            h = TorchConv(uc[i + 1], 3, dtype=self.dtype, name=f"up_conv{i}")(h)
+            h = self.up_convs[i](h)
 
         # OUTPUT
-        out = TorchConv(self.out_dim, 1, dtype=self.dtype, name="output")(h)
+        out = self.output(h)
         return out.astype(jnp.float32)
 
 

@@ -91,8 +91,16 @@ class Trainer:
         self._rng = np.random.default_rng(seed)
         self._host_key = jax.random.PRNGKey(seed)
 
-        def apply_fn(variables, x, t, cond, cond_mask):
-            return model.apply(variables, x, t, cond, cond_mask, train=False)
+        def apply_fn(variables, x, t, cond, cond_mask, cond_features=None):
+            return model.apply(
+                variables, x, t, cond, cond_mask, train=False, cond_features=cond_features
+            )
+
+        encode_cond_fn = None
+        if getattr(model, "conditioning", None) in ("superres", "sar"):
+            # hoist the loop-invariant condition stem out of the sampling scan
+            def encode_cond_fn(variables, cond):
+                return model.apply(variables, cond, method="encode_cond")
 
         self.process = DiffusionProcess(
             noise_schedule,
@@ -102,6 +110,7 @@ class Trainer:
             beta_end=beta_end,
             image_size=image_size,
             image_channels=model.image_channels,
+            encode_cond_fn=encode_cond_fn,
         )
         self.schedule = self.process.schedule
         self.loss_fn = make_loss_fn(loss)

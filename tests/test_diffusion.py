@@ -130,3 +130,21 @@ def test_cfg_matches_two_call_lerp():
     eps2 = m.apply(v, x2, t2, y2, mask, train=False)
     got = np.asarray(eps2[2:]) + cfg * (np.asarray(eps2[:2]) - np.asarray(eps2[2:]))
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_hoisted_cond_features_match_inline():
+    """encode_cond once + cond_features must equal the inline cond path."""
+    from diffusionremotesensing_tpu.models.unet import (
+        residual_attention_unet_superres,
+    )
+    from diffusionremotesensing_tpu.models.unet import init_unet_params
+
+    m = residual_attention_unet_superres(magnification_factor=2)
+    v = init_unet_params(m, jax.random.PRNGKey(0), image_size=16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    t = jnp.array([3, 4])
+    lr = jax.random.uniform(jax.random.PRNGKey(2), (2, 8, 8, 3))
+    inline = m.apply(v, x, t, lr, train=False)
+    feats = m.apply(v, lr, method="encode_cond")
+    hoisted = m.apply(v, x, t, None, train=False, cond_features=feats)
+    np.testing.assert_allclose(np.asarray(hoisted), np.asarray(inline), atol=1e-6)
