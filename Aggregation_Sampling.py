@@ -1,0 +1,36 @@
+"""Tiled super-resolution inference CLI (reference-parity flag surface).
+
+Mirrors /root/reference/Aggregation_Sampling.py:207-227. The patch set is
+denoised as a sharded batch instead of serially at batch 1 — see
+diffusionremotesensing_tpu/aggregation.py.
+"""
+
+from diffusionremotesensing_tpu.aggregation import (  # noqa: F401  (library API re-export)
+    AggregationSampler,
+    gaussian_weights,
+    patchify_coords,
+)
+from diffusionremotesensing_tpu.cli import launch_aggregation
+
+if __name__ == "__main__":
+    import argparse
+    import os
+
+    parser = argparse.ArgumentParser(description=" ")
+    parser.add_argument("--noise_schedule", type=str, default="cosine")
+    parser.add_argument("--snapshot_name", type=str, default="snapshot.pt")
+    parser.add_argument("--noise_steps", type=int, default=1500)
+    parser.add_argument("--model_input_size", type=int, default=512)
+    parser.add_argument("--model_name", type=str)
+    parser.add_argument("--UNet_type", type=str)
+    parser.add_argument("--Degradation_type", type=str)
+    parser.add_argument("--device", type=str, default="cuda")
+    parser.add_argument("--magnification_factor", type=int)
+    parser.add_argument("--inp_out_channels", type=int, default=3)
+    parser.add_argument("--patch_size", type=int, default=64)
+    parser.add_argument("--stride", type=int, default=32)
+    parser.add_argument("--destination_path", type=str)
+    parser.add_argument("--img_lr_path", type=str)
+    args = parser.parse_args()
+    args.snapshot_folder_path = os.path.join(os.curdir, "models_run", args.model_name, "weights")
+    launch_aggregation(args)

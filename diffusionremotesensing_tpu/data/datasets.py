@@ -193,13 +193,16 @@ class SarToNdviDataset:
         return len(self.filenames)
 
     def _load(self, path: str) -> np.ndarray:
-        if self.data_format == "torch":
+        # the file extension wins over the declared data_format (the
+        # reference supports .pt/.npy/image per its data_format flag)
+        ext = os.path.splitext(path)[1].lower()
+        if ext in (".pt", ".pth") or (ext == "" and self.data_format == "torch"):
             import torch
 
             t = torch.load(path)
             arr = t.numpy()
             return arr.transpose(1, 2, 0) if arr.ndim == 3 else arr[:, :, None]
-        if self.data_format == "numpy":
+        if ext == ".npy" or self.data_format == "numpy":
             arr = np.load(path).astype(np.float32)
             return arr.transpose(1, 2, 0) if arr.ndim == 3 and arr.shape[0] <= 4 else arr
         img = Image.open(path)

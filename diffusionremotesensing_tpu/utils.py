@@ -1,0 +1,192 @@
+"""Media export, dataset organization, and image metrics.
+
+Mirrors the helper surface of /root/reference/utils.py:257-432 (video_maker,
+gif_maker, convert_png_to_jpg, data_organizer_superresolution) plus the
+PSNR/SSIM metrics the benchmark harness needs (the reference publishes no
+quantitative metrics; these close that gap).
+
+All image tensors here are NHWC/HWC float [0, 1] numpy (or jax) arrays.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import shutil
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = [
+    "video_maker",
+    "gif_maker",
+    "convert_png_to_jpg",
+    "data_organizer_superresolution",
+    "psnr",
+    "ssim",
+    "save_image",
+    "save_preview_grid",
+]
+
+
+def _frame_to_uint8(frame: np.ndarray) -> np.ndarray:
+    """HWC float [0,1] (clamped) -> HWC uint8."""
+    arr = np.asarray(frame)
+    if arr.ndim == 4:  # (1, H, W, C)
+        arr = arr[0]
+    arr = np.clip(arr, 0.0, 1.0)
+    return (arr * 255.0).astype(np.uint8)
+
+
+def video_maker(frames: Sequence[np.ndarray], path: str, fps: int = 100) -> None:
+    """Write the denoising trajectory as an mp4 with a per-frame
+    'Frame i' overlay (reference video_maker, utils.py:384-432)."""
+    import cv2
+
+    first = _frame_to_uint8(frames[0])
+    h, w = first.shape[:2]
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    try:
+        for i, frame in enumerate(frames):
+            img = _frame_to_uint8(frame)
+            if img.shape[-1] == 1:
+                img = np.repeat(img, 3, axis=-1)
+            bgr = cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
+            cv2.putText(
+                bgr, f"Frame {i}", (10, 30), cv2.FONT_HERSHEY_SIMPLEX, 1, (255, 255, 255), 2
+            )
+            writer.write(bgr)
+    finally:
+        writer.release()
+
+
+def gif_maker(frames: Sequence[np.ndarray], path: str, fps: int = 50) -> None:
+    """Write frames as an animated GIF (reference gif_maker, utils.py:344-382)."""
+    import imageio
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    imgs = [_frame_to_uint8(f) for f in frames]
+    imageio.mimsave(path, imgs, fps=fps)
+
+
+def convert_png_to_jpg(folder_path: str) -> None:
+    """In-place convert all .png files in a folder to .jpg
+    (reference convert_png_to_jpg, utils.py:331-342)."""
+    from PIL import Image
+
+    for name in os.listdir(folder_path):
+        if name.lower().endswith(".png"):
+            p = os.path.join(folder_path, name)
+            img = Image.open(p).convert("RGB")
+            img.save(os.path.splitext(p)[0] + ".jpg")
+            os.remove(p)
+
+
+def data_organizer_superresolution(
+    main_folder: str,
+    split_ratio: Tuple[float, float, float] = (0.8, 0.15, 0.05),
+    seed: Optional[int] = None,
+) -> None:
+    """Recursively collect files under ``main_folder``, shuffle, and move them
+    into train_original/val_original/test_original subfolders by ratio
+    (reference data_organizer_superresolution, utils.py:257-329)."""
+    assert abs(sum(split_ratio) - 1.0) < 1e-6
+    files: List[str] = []
+    split_dirs = {"train_original", "val_original", "test_original"}
+    for root, dirs, names in os.walk(main_folder):
+        dirs[:] = [d for d in dirs if d not in split_dirs]
+        files.extend(os.path.join(root, n) for n in names)
+    rng = random.Random(seed)
+    rng.shuffle(files)
+    n = len(files)
+    n_train = int(n * split_ratio[0])
+    n_val = int(n * split_ratio[1])
+    buckets = {
+        "train_original": files[:n_train],
+        "val_original": files[n_train : n_train + n_val],
+        "test_original": files[n_train + n_val :],
+    }
+    for sub, paths in buckets.items():
+        dst_dir = os.path.join(main_folder, sub)
+        os.makedirs(dst_dir, exist_ok=True)
+        for p in paths:
+            shutil.move(p, os.path.join(dst_dir, os.path.basename(p)))
+
+
+# ----------------------------------------------------------------- metrics
+
+
+def psnr(a: np.ndarray, b: np.ndarray, data_range: float = 1.0) -> float:
+    """Peak signal-to-noise ratio in dB."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(data_range**2 / mse))
+
+
+def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 1.0) -> float:
+    """Mean structural similarity (Wang et al.), 7x7 uniform window per
+    channel — standard constants C1=(0.01 R)^2, C2=(0.03 R)^2."""
+    from scipy.ndimage import uniform_filter
+
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if a.ndim == 2:
+        a, b = a[..., None], b[..., None]
+    C1 = (0.01 * data_range) ** 2
+    C2 = (0.03 * data_range) ** 2
+    vals = []
+    for c in range(a.shape[-1]):
+        x, y = a[..., c], b[..., c]
+        mx = uniform_filter(x, 7)
+        my = uniform_filter(y, 7)
+        mxx = uniform_filter(x * x, 7)
+        myy = uniform_filter(y * y, 7)
+        mxy = uniform_filter(x * y, 7)
+        vx = mxx - mx * mx
+        vy = myy - my * my
+        cxy = mxy - mx * my
+        s = ((2 * mx * my + C1) * (2 * cxy + C2)) / ((mx**2 + my**2 + C1) * (vx + vy + C2))
+        vals.append(s.mean())
+    return float(np.mean(vals))
+
+
+# ------------------------------------------------------------------- plots
+
+
+def save_image(img: np.ndarray, path: str) -> None:
+    """Save an HWC float [0,1] array as an image file."""
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    Image.fromarray(_frame_to_uint8(img).squeeze()).save(path)
+
+
+def save_preview_grid(
+    rows: Iterable[Sequence[np.ndarray]],
+    titles: Sequence[str],
+    path: str,
+) -> None:
+    """5x3-style matplotlib preview grid (reference train previews,
+    train_diffusion_superres.py:416-433). ``rows`` yields per-row image
+    tuples matching ``titles``."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows = list(rows)
+    ncols = len(titles)
+    fig, axs = plt.subplots(len(rows), ncols, figsize=(5 * ncols, 5 * len(rows)), squeeze=False)
+    for r, imgs in enumerate(rows):
+        for c, (img, title) in enumerate(zip(imgs, titles)):
+            arr = np.clip(np.asarray(img), 0, 1)
+            axs[r, c].imshow(arr.squeeze(), cmap="gray" if arr.shape[-1] == 1 else None)
+            axs[r, c].set_title(title)
+            axs[r, c].axis("off")
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fig.savefig(path)
+    plt.close(fig)

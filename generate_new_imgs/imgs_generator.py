@@ -1,0 +1,69 @@
+"""Per-class image generation from the shipped generation checkpoint.
+
+Mirrors /root/reference/generate_new_imgs/imgs_generator.py: loads
+'Residual_Attention_UNet_generation_sentinel_data_crops', samples one image
+per sorted EuroSAT class name with 1500 cosine steps, saves a 2x5 grid.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    import jax
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from diffusionremotesensing_tpu.diffusion import DiffusionProcess
+    from diffusionremotesensing_tpu.io import load_snapshot
+    from diffusionremotesensing_tpu.models.unet import residual_attention_unet_generation
+
+    noise_schedule = "cosine"
+    input_channels = 3
+    noise_steps = 1500
+    model_name = "Residual_Attention_UNet_generation_sentinel_data_crops"
+    snapshot_path = os.path.join("..", "models_run", model_name, "weights", "snapshot.pt")
+    image_size = 64
+
+    classes = sorted(
+        ["Highway", "River", "HerbaceousVegetation", "Residential", "AnnualCrop",
+         "Pasture", "Forest", "PermanentCrop", "Industrial", "SeaLake"]
+    )
+
+    model = residual_attention_unet_generation(
+        image_channels=input_channels, out_dim=input_channels, num_classes=len(classes)
+    )
+    state, _ = load_snapshot(snapshot_path)
+    variables = {"params": state["params"], "batch_stats": state.get("batch_stats", {})}
+
+    def apply_fn(v, x, t, cond, mask, cond_features=None):
+        return model.apply(v, x, t, cond, mask, train=False)
+
+    proc = DiffusionProcess(
+        noise_schedule, apply_fn, noise_steps=noise_steps,
+        image_size=image_size, image_channels=input_channels,
+    )
+    # one batched call generates all 10 classes at once
+    labels = np.arange(len(classes), dtype=np.int32)
+    preds = np.clip(np.asarray(proc.sample(variables, jax.random.PRNGKey(0), n=len(classes), cond=labels)), 0, 1)
+
+    save_path = os.path.join("..", "models_run", model_name, "results", "generated_imgs")
+    os.makedirs(os.path.dirname(save_path), exist_ok=True)
+    fig, axs = plt.subplots(2, 5, figsize=(15, 6))
+    axs = axs.ravel()
+    for i, class_ in enumerate(classes):
+        axs[i].imshow(preds[i])
+        axs[i].axis("off")
+        axs[i].set_title(class_, fontsize=12)
+    plt.savefig(save_path, dpi=300, bbox_inches="tight", pad_inches=0)
+    plt.close(fig)
+
+
+if __name__ == "__main__":
+    main()

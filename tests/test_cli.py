@@ -1,0 +1,137 @@
+"""End-to-end CLI smoke tests: run the actual entry-point scripts on tiny
+synthetic datasets in a temp cwd (2 epochs, tiny images, CPU)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _env():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["DRS_FORCE_CPU"] = "1"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def _mk_images(d, n=6, size=32):
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        arr = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(d, f"img_{i}.png"))
+
+
+@pytest.fixture
+def workdir(tmp_path):
+    return str(tmp_path)
+
+
+def _run(script, args, cwd):
+    cmd = [sys.executable, os.path.join(REPO, script)] + args
+    res = subprocess.run(cmd, cwd=cwd, env=_env(), capture_output=True, text=True, timeout=1200)
+    assert res.returncode == 0, f"STDOUT:\n{res.stdout}\nSTDERR:\n{res.stderr}"
+    return res
+
+
+def test_train_superres_cli(workdir):
+    _mk_images(os.path.join(workdir, "data", "train_original"), n=6, size=32)
+    _mk_images(os.path.join(workdir, "data", "val_original"), n=6, size=32)
+    _run(
+        "train_diffusion_superres.py",
+        [
+            "--epochs", "2", "--batch_size", "4", "--image_size", "32",
+            "--noise_steps", "8", "--model_name", "smoke_superres",
+            "--dataset_path", "data", "--magnification_factor", "2",
+            "--loss", "MSE", "--Blur_radius", "0.5", "--check_preds_epoch", "1",
+        ],
+        workdir,
+    )
+    assert os.path.exists(os.path.join(workdir, "models_run", "smoke_superres", "weights", "snapshot.pt"))
+    results = os.listdir(os.path.join(workdir, "models_run", "smoke_superres", "results"))
+    assert any(f.startswith("superres_") for f in results)
+    assert "superres_results.png" in results
+
+
+def test_train_generation_cli(workdir):
+    for c in ["ClassA", "ClassB"]:
+        _mk_images(os.path.join(workdir, "gen_data", "train", c), n=4, size=16)
+    # the generation script writes snapshots to ../models_run -> run from a subdir
+    rundir = os.path.join(workdir, "rundir")
+    os.makedirs(rundir, exist_ok=True)
+    os.rename(os.path.join(workdir, "gen_data"), os.path.join(rundir, "gen_data"))
+    _run(
+        "generate_new_imgs/train_diffusion_generation.py",
+        [
+            "--epochs", "2", "--batch_size", "4", "--image_size", "16",
+            "--noise_steps", "8", "--model_name", "smoke_gen",
+            "--dataset_path", "gen_data", "--loss", "MSE",
+            "--check_preds_epoch", "1", "--ema_smoothing", "true",
+        ],
+        rundir,
+    )
+    assert os.path.exists(os.path.join(workdir, "models_run", "smoke_gen", "weights", "snapshot.pt"))
+
+
+def test_train_sar_cli(workdir):
+    rng = np.random.default_rng(0)
+    for split in ["train", "valid"]:
+        for sub in ["sar", "opt"]:
+            os.makedirs(os.path.join(workdir, "sar_data", split, sub), exist_ok=True)
+        for i in range(4):
+            np.save(
+                os.path.join(workdir, "sar_data", split, "sar", f"p{i}.npy"),
+                rng.uniform(-1, 1, (2, 16, 16)).astype(np.float32),
+            )
+            np.save(
+                os.path.join(workdir, "sar_data", split, "opt", f"p{i}.npy"),
+                rng.uniform(-1, 1, (1, 16, 16)).astype(np.float32),
+            )
+    # numpy pairing: dataset default data_format is torch; ours reads .npy via numpy
+    _run(
+        "train_diffusion_SAR_TO_NDVI.py",
+        [
+            "--epochs", "1", "--batch_size", "4", "--image_size", "16",
+            "--noise_steps", "8", "--model_name", "smoke_sar",
+            "--dataset_path", "sar_data", "--loss", "MSE", "--check_preds_epoch", "5",
+        ],
+        workdir,
+    )
+    assert os.path.exists(os.path.join(workdir, "models_run", "smoke_sar", "weights", "snapshot.pt"))
+
+
+def test_aggregation_cli_with_trained_snapshot(workdir):
+    # first produce a tiny superres snapshot via the training CLI
+    _mk_images(os.path.join(workdir, "data", "train_original"), n=4, size=32)
+    _mk_images(os.path.join(workdir, "data", "val_original"), n=4, size=32)
+    _run(
+        "train_diffusion_superres.py",
+        [
+            "--epochs", "1", "--batch_size", "4", "--image_size", "32",
+            "--noise_steps", "6", "--model_name", "smoke_agg",
+            "--dataset_path", "data", "--magnification_factor", "2",
+            "--loss", "MSE", "--Blur_radius", "0.5", "--check_preds_epoch", "3",
+        ],
+        workdir,
+    )
+    _mk_images(os.path.join(workdir, "lr"), n=1, size=32)
+    _run(
+        "Aggregation_Sampling.py",
+        [
+            "--model_name", "smoke_agg", "--magnification_factor", "2",
+            "--noise_steps", "6", "--patch_size", "16", "--stride", "8",
+            "--model_input_size", "32", "--UNet_type", "Residual Attention UNet",
+            "--Degradation_type", "DownBlur", "--device", "cpu",
+            "--img_lr_path", os.path.join("lr", "img_0.png"),
+            "--destination_path", "sr_out.png",
+        ],
+        workdir,
+    )
+    out = Image.open(os.path.join(workdir, "sr_out.png"))
+    assert out.size == (64, 64)

@@ -1,0 +1,34 @@
+"""SAR -> NDVI translation training CLI (reference-parity flag surface).
+
+Mirrors /root/reference/train_diffusion_SAR_TO_NDVI.py:638-666.
+"""
+
+import os
+
+from diffusionremotesensing_tpu.cli import launch_sar_to_ndvi, str2bool
+
+if __name__ == "__main__":
+    import argparse
+
+    parser = argparse.ArgumentParser(description=" ")
+    parser.add_argument("--epochs", type=int, default=501)
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--image_size", type=int)
+    parser.add_argument("--lr", type=float, default=3e-4)
+    parser.add_argument("--check_preds_epoch", type=int, default=20)
+    parser.add_argument("--noise_schedule", type=str, default="cosine")
+    parser.add_argument("--snapshot_name", type=str, default="snapshot.pt")
+    parser.add_argument("--model_name", type=str)
+    parser.add_argument("--noise_steps", type=int, default=200)
+    parser.add_argument("--patience", type=int, default=10)
+    parser.add_argument("--dataset_path", type=str, default=None)
+    parser.add_argument("--SAR_channels", type=int, default=2)
+    parser.add_argument("--NDVI_channels", type=int, default=1)
+    parser.add_argument("--generate_video", type=str2bool, nargs="?", const=True, default=False)
+    parser.add_argument("--loss", type=str)
+    parser.add_argument("--UNet_type", type=str, default="Residual Attention UNet")
+    parser.add_argument("--multiple_gpus", type=str2bool, nargs="?", const=True, default=False)
+    parser.add_argument("--ema_smoothing", type=str2bool, nargs="?", const=True, default=False)
+    args = parser.parse_args()
+    args.snapshot_folder_path = os.path.join(os.curdir, "models_run", args.model_name, "weights")
+    launch_sar_to_ndvi(args)

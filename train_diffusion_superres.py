@@ -1,0 +1,39 @@
+"""Super-resolution training CLI (reference-parity flag surface).
+
+Mirrors /root/reference/train_diffusion_superres.py:696-727: same flag names,
+defaults, and semantics. ``--multiple_gpus`` shards the batch over a device
+mesh (no torchrun needed — a single process drives all chips).
+"""
+
+import os
+
+from diffusionremotesensing_tpu.cli import launch_superres, str2bool
+
+if __name__ == "__main__":
+    import argparse
+
+    parser = argparse.ArgumentParser(description=" ")
+    parser.add_argument("--epochs", type=int, default=501)
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--image_size", type=int)
+    parser.add_argument("--lr", type=float, default=3e-4)
+    parser.add_argument("--check_preds_epoch", type=int, default=20)
+    parser.add_argument("--noise_schedule", type=str, default="cosine")
+    parser.add_argument("--snapshot_name", type=str, default="snapshot.pt")
+    parser.add_argument("--model_name", type=str)
+    parser.add_argument("--noise_steps", type=int, default=200)
+    parser.add_argument("--patience", type=int, default=10)
+    parser.add_argument("--dataset_path", type=str, default=None)
+    parser.add_argument("--inp_out_channels", type=int, default=3)
+    parser.add_argument("--generate_video", type=str2bool, nargs="?", const=True, default=False)
+    parser.add_argument("--loss", type=str)
+    parser.add_argument("--magnification_factor", type=int)
+    parser.add_argument("--UNet_type", type=str, default="Residual Attention UNet")
+    parser.add_argument("--Degradation_type", type=str, default="DownBlur")
+    parser.add_argument("--num_crops", type=int, default=1)
+    parser.add_argument("--multiple_gpus", type=str2bool, nargs="?", const=True, default=False)
+    parser.add_argument("--ema_smoothing", type=str2bool, nargs="?", const=True, default=False)
+    parser.add_argument("--Blur_radius", type=str, default="random")
+    args = parser.parse_args()
+    args.snapshot_folder_path = os.path.join(os.curdir, "models_run", args.model_name, "weights")
+    launch_superres(args)
