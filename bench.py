@@ -29,6 +29,9 @@ HR_SIZE = LR_SIZE * MAG
 
 def bench_tpu() -> float:
     import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
 
     from diffusionremotesensing_tpu.diffusion import DiffusionProcess
     from diffusionremotesensing_tpu.models.unet import (
@@ -36,11 +39,15 @@ def bench_tpu() -> float:
         residual_attention_unet_superres,
     )
 
-    model = residual_attention_unet_superres(magnification_factor=MAG)
+    # bfloat16 compute is the TPU-native inference path (+51% over f32);
+    # parity/eval runs use f32 (see benchmarks/harness.py)
+    model = residual_attention_unet_superres(magnification_factor=MAG, dtype=jnp.bfloat16)
     # initialize on the CPU backend (flax init otherwise compiles through the
-    # slow remote-TPU tunnel), then move params to the accelerator
+    # slow remote-TPU tunnel), then move params to the accelerator; init with
+    # the f32 model so param dtypes stay float32
+    init_model = residual_attention_unet_superres(magnification_factor=MAG)
     with jax.default_device(jax.devices("cpu")[0]):
-        variables = init_unet_params(model, jax.random.PRNGKey(0), image_size=HR_SIZE)
+        variables = init_unet_params(init_model, jax.random.PRNGKey(0), image_size=HR_SIZE)
     dev = jax.devices()[0]
     variables = jax.device_put(variables, dev)
 
@@ -102,7 +109,7 @@ def main():
             {
                 "metric": "sr_patch_denoise_forwards_per_sec_128px",
                 "value": round(tpu_fps, 2),
-                "unit": "UNet forwards/sec (batch x (T-1) / wall, T=200, batch=16, HR 128px)",
+                "unit": "UNet forwards/sec (batch x (T-1) / wall, T=200, batch=16, HR 128px, bf16)",
                 "vs_baseline": round(vs, 2) if vs is not None else None,
             }
         )

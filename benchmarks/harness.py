@@ -1,0 +1,213 @@
+"""Benchmark harness: throughput and quality metrics vs the PyTorch reference.
+
+The reference publishes no quantitative numbers (BASELINE.md), so this
+harness measures everything the north star asks for:
+
+* ``denoise_steps_per_sec``   — jitted scan sampler, flagship superres config
+  (HR 128px, x2), reported as model-forwards/sec and batch-images/sec.
+* ``patches_per_sec``         — end-to-end aggregation sampling on a full LR
+  tile (patchify + batched scan + Gaussian-blend reassembly).
+* ``torch_baseline``          — the reference model's forward rate at batch 1
+  on this host (CPU; the environment has no GPU), the denominator for
+  ``vs_baseline``.
+* ``quality``                 — PSNR/SSIM of our torch-checkpoint-imported
+  forward vs the torch forward on the same inputs (weights are stripped from
+  the mounted checkpoints, so this uses a freshly-initialized torch model —
+  it measures numerical parity of the stacks, not task quality).
+
+Run: ``python -m benchmarks.harness [--quick]``. Prints a JSON document.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+LR_SIZE, MAG, T, BATCH = 64, 2, 200, 16
+HR_SIZE = LR_SIZE * MAG
+
+
+def _tpu_setup(dtype_name: str, use_pallas: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from diffusionremotesensing_tpu.diffusion import DiffusionProcess
+    from diffusionremotesensing_tpu.models.unet import (
+        init_unet_params,
+        residual_attention_unet_superres,
+    )
+
+    dtype = {"f32": None, "bf16": jnp.bfloat16}[dtype_name]
+    model = residual_attention_unet_superres(
+        magnification_factor=MAG, dtype=dtype, use_pallas=use_pallas
+    )
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    init_model = residual_attention_unet_superres(magnification_factor=MAG)
+    if cpu is not None:
+        with jax.default_device(cpu):
+            variables = init_unet_params(init_model, jax.random.PRNGKey(0), image_size=HR_SIZE)
+    else:
+        variables = init_unet_params(init_model, jax.random.PRNGKey(0), image_size=HR_SIZE)
+    dev = jax.devices()[0]
+    variables = jax.device_put(variables, dev)
+
+    def apply_fn(v, x, t, cond, mask, cond_features=None):
+        return model.apply(v, x, t, cond, mask, train=False, cond_features=cond_features)
+
+    def encode_cond_fn(v, cond):
+        return model.apply(v, cond, method="encode_cond")
+
+    proc = DiffusionProcess(
+        "cosine", apply_fn, noise_steps=T, image_size=HR_SIZE, image_channels=3,
+        encode_cond_fn=encode_cond_fn,
+    )
+    return model, variables, proc, dev
+
+
+def bench_denoise(dtype_name: str = "bf16", use_pallas: bool = False, reps: int = 3):
+    import jax
+
+    _, variables, proc, dev = _tpu_setup(dtype_name, use_pallas)
+    sampler = proc.sampler()
+    key = jax.random.PRNGKey(1)
+    x_T = jax.device_put(jax.random.normal(jax.random.PRNGKey(2), (BATCH, HR_SIZE, HR_SIZE, 3)), dev)
+    cond = jax.device_put(jax.random.uniform(jax.random.PRNGKey(3), (BATCH, LR_SIZE, LR_SIZE, 3)), dev)
+    jax.block_until_ready(sampler(variables, key, x_T, cond))
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = sampler(variables, jax.random.fold_in(key, i), x_T, cond)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    return {
+        "unet_forwards_per_sec": BATCH * (T - 1) / dt,
+        "images_per_sec": BATCH / dt,
+        "seconds_per_sample_batch": dt,
+        "config": f"HR{HR_SIZE} x{MAG} T{T} B{BATCH} {dtype_name}"
+        + (" pallas" if use_pallas else ""),
+    }
+
+
+def bench_aggregation(dtype_name: str = "bf16", tile_lr: int = 128):
+    """Full-tile SR via aggregation sampling: LR tile -> HR, patches/sec."""
+    import jax
+
+    from diffusionremotesensing_tpu.aggregation import AggregationSampler
+
+    _, variables, proc, dev = _tpu_setup(dtype_name, False)
+    agg = AggregationSampler(
+        proc, patch_size=LR_SIZE, stride=LR_SIZE // 2, magnification_factor=MAG,
+        batch_size=BATCH,
+    )
+    img = np.random.default_rng(0).random((tile_lr, tile_lr, 3)).astype(np.float32)
+    n_patches = len(agg.extract_patches(img)[1])
+    # warm start (compile)
+    agg(variables, img, key=jax.random.PRNGKey(0))
+    t0 = time.perf_counter()
+    out = agg(variables, img, key=jax.random.PRNGKey(1))
+    dt = time.perf_counter() - t0
+    assert out.shape == (tile_lr * MAG, tile_lr * MAG, 3)
+    return {
+        "patches": n_patches,
+        "patches_per_sec": n_patches / dt,
+        "tile_seconds": dt,
+        "config": f"LR tile {tile_lr} patch {LR_SIZE} stride {LR_SIZE//2} x{MAG} T{T} {dtype_name}",
+    }
+
+
+def bench_torch_baseline(reps: int = 10):
+    if not os.path.isdir("/root/reference"):
+        return None
+    sys.path.insert(0, "/root/reference")
+    import torch
+    from UNet_model_superres import Residual_Attention_UNet_superres
+
+    tm = Residual_Attention_UNet_superres(device="cpu")
+    tm.eval()
+    x = torch.randn(1, 3, HR_SIZE, HR_SIZE)
+    t = torch.tensor([100])
+    lr = torch.rand(1, 3, LR_SIZE, LR_SIZE)
+    with torch.no_grad():
+        tm(x, t, lr, MAG)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            tm(x, t, lr, MAG)
+        dt = (time.perf_counter() - t0) / reps
+    return {"forwards_per_sec": 1.0 / dt, "hardware": "host CPU (no GPU present)"}
+
+
+def bench_quality():
+    """Numerical parity of the imported-checkpoint forward vs torch."""
+    if not os.path.isdir("/root/reference"):
+        return None
+    sys.path.insert(0, "/root/reference")
+    import jax
+    import jax.numpy as jnp
+    import torch
+    from UNet_model_superres import Residual_Attention_UNet_superres
+
+    from diffusionremotesensing_tpu.io import import_torch_state_dict
+    from diffusionremotesensing_tpu.models.unet import residual_attention_unet_superres
+    from diffusionremotesensing_tpu.utils import psnr, ssim
+
+    tm = Residual_Attention_UNet_superres(device="cpu")
+    tm.eval()
+    variables = import_torch_state_dict(tm.state_dict())
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 3, HR_SIZE, HR_SIZE)).astype(np.float32)
+    lr = rng.standard_normal((2, 3, LR_SIZE, LR_SIZE)).astype(np.float32)
+    t = np.array([7, 123], np.int64)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(lr), MAG)
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+    fm = residual_attention_unet_superres(magnification_factor=MAG)
+    got = np.asarray(
+        fm.apply(
+            variables,
+            jnp.asarray(x.transpose(0, 2, 3, 1)),
+            jnp.asarray(t),
+            jnp.asarray(lr.transpose(0, 2, 3, 1)),
+            train=False,
+        )
+    )
+    rng_ = float(ref.max() - ref.min())
+    return {
+        "forward_psnr_db_vs_torch": psnr(got, ref, data_range=rng_),
+        "forward_ssim_vs_torch": ssim(got, ref, data_range=rng_),
+        "max_abs_err": float(np.abs(got - ref).max()),
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true", help="skip aggregation bench")
+    parser.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    args = parser.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_CACHE", "/tmp/jax_tpu_cache"))
+
+    report = {"device": str(jax.devices()[0])}
+    report["denoise"] = bench_denoise(args.dtype)
+    if not args.quick:
+        report["aggregation"] = bench_aggregation(args.dtype)
+    report["torch_baseline"] = bench_torch_baseline()
+    report["quality"] = bench_quality()
+    if report["torch_baseline"]:
+        report["vs_baseline"] = (
+            report["denoise"]["unet_forwards_per_sec"]
+            / report["torch_baseline"]["forwards_per_sec"]
+        )
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

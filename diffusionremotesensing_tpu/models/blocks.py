@@ -221,21 +221,49 @@ class AttentionGate(nn.Module):
     psi = sigmoid(conv1x1(ReLU(g1 + x1))); psi upsampled x2 nearest and
     broadcast over channels; out = BN(conv1x1(psi * x)).
     Mirrors /root/reference/UNet_model_superres.py:57-108.
+
+    ``use_pallas`` switches inference (train=False) to the single fused
+    Pallas kernel in ops/pallas_kernels.py — one VMEM-resident program
+    instead of four conv dispatches ('interpret' runs the same kernel in
+    interpreter mode for CPU tests). Training always uses the XLA path
+    (the fused kernel is forward-only and BN needs batch stats).
     """
 
     features: int  # f_int == f_x == f_g in all uses
     dtype: Optional[jnp.dtype] = None
+    use_pallas: object = False  # False | True | 'interpret'
 
-    @nn.compact
+    def setup(self):
+        self.w_g = TorchConv(self.features, 1, dtype=self.dtype)
+        self.w_x = TorchConv(self.features, 2, stride=2, pad=0, dtype=self.dtype)
+        self.psi = TorchConv(1, 1, dtype=self.dtype)
+        self.result_conv = TorchConv(self.features, 1, dtype=self.dtype)
+        self.BatchNorm_0 = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype)
+
     def __call__(self, x, g, train: bool = False):
-        g1 = TorchConv(self.features, 1, dtype=self.dtype, name="w_g")(g)
-        x1 = TorchConv(self.features, 2, stride=2, pad=0, dtype=self.dtype, name="w_x")(x)
+        if self.use_pallas and not train and not self.is_initializing():
+            from diffusionremotesensing_tpu.ops.pallas_kernels import fused_attention_gate
+
+            p = lambda m, leaf: m.variables["params"]["conv"][leaf]  # noqa: E731
+            bn = self.BatchNorm_0.variables
+            return fused_attention_gate(
+                x, g,
+                p(self.w_g, "kernel"), p(self.w_g, "bias"),
+                p(self.w_x, "kernel"), p(self.w_x, "bias"),
+                p(self.psi, "kernel"), p(self.psi, "bias"),
+                p(self.result_conv, "kernel"), p(self.result_conv, "bias"),
+                bn["params"]["scale"], bn["params"]["bias"],
+                bn["batch_stats"]["mean"], bn["batch_stats"]["var"],
+                interpret=self.use_pallas == "interpret",
+            ).astype(x.dtype)
+        g1 = self.w_g(g)
+        x1 = self.w_x(x)
         psi = nn.relu(g1 + x1)
-        psi = TorchConv(1, 1, dtype=self.dtype, name="psi")(psi)
+        psi = self.psi(psi)
         psi = nn.sigmoid(psi)
         psi = upsample_nearest(psi, 2)  # (B, Hx, Wx, 1), broadcasts over C
-        out = TorchConv(x.shape[-1], 1, dtype=self.dtype, name="result_conv")(psi * x)
-        return BatchNorm(train, dtype=self.dtype)(out)
+        out = self.result_conv(psi * x)
+        return self.BatchNorm_0(out, use_running_average=not train)
 
 
 class UpConvBlock(nn.Module):

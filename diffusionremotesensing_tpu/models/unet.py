@@ -69,6 +69,8 @@ class ResidualAttentionUNet(nn.Module):
     down_channels: Tuple[int, ...] = (16, 32, 64, 128, 256)
     up_channels: Tuple[int, ...] = (256, 128, 64, 32, 16)
     dtype: Optional[jnp.dtype] = None
+    # False | True | 'interpret' — fused Pallas attention gates at inference
+    use_pallas: object = False
 
     def setup(self):
         dc, uc = self.down_channels, self.up_channels
@@ -97,7 +99,7 @@ class ResidualAttentionUNet(nn.Module):
             for i in range(len(uc) - 2)
         ]
         self.attentions = [
-            AttentionGate(uc[i + 1], dtype=self.dtype, name=f"attention{i}")
+            AttentionGate(uc[i + 1], dtype=self.dtype, use_pallas=self.use_pallas, name=f"attention{i}")
             for i in range(len(uc) - 2)
         ]
         self.ups = [
@@ -180,6 +182,7 @@ def residual_attention_unet_superres(
     out_dim: int = 3,
     magnification_factor: int = 2,
     dtype=None,
+    use_pallas=False,
 ) -> ResidualAttentionUNet:
     """Superres UNet (ref UNet_model_superres.py:266): LR-image conditioned."""
     return ResidualAttentionUNet(
@@ -189,6 +192,7 @@ def residual_attention_unet_superres(
         cond_channels=image_channels,
         magnification_factor=magnification_factor,
         dtype=dtype,
+        use_pallas=use_pallas,
     )
 
 

@@ -79,6 +79,7 @@ class Trainer:
         beta_start: float = 1e-4,
         beta_end: float = 0.02,
         seed: int = 0,
+        metrics_path: Optional[str] = None,
     ):
         self.model = model
         self.image_size = image_size
@@ -117,6 +118,9 @@ class Trainer:
         self.optimizer = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
         self._train_step = None
         self._val_step = None
+        from diffusionremotesensing_tpu.profiling import MetricsLogger
+
+        self.metrics = MetricsLogger(metrics_path)
 
     # ------------------------------------------------------------------ state
 
@@ -288,9 +292,10 @@ class Trainer:
                 running += float(loss)
                 nb += 1
             running /= max(nb, 1)
+            sps = nb / max(time.time() - t0, 1e-9)
             if verbose and is_main_process():
-                sps = nb / max(time.time() - t0, 1e-9)
                 print(f"Epoch {epoch}: Running Train ({self.loss_name}) {running:.6f}  [{sps:.2f} steps/s]")
+            self.metrics.log(epoch=epoch, train_loss=running, steps_per_sec=sps, step=int(state.step))
 
             if epoch % check_preds_epoch == 0 and is_main_process():
                 if val_loader is None:
@@ -307,6 +312,7 @@ class Trainer:
                 running_val /= max(nvb, 1)
                 if verbose and is_main_process():
                     print(f"Epoch {epoch}: Running Val loss ({self.loss_name}) {running_val:.6f}")
+                self.metrics.log(epoch=epoch, val_loss=running_val)
 
                 if running_val < best_loss:
                     best_loss = running_val

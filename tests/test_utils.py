@@ -1,0 +1,73 @@
+"""Media utils, metrics, and the data organizer."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from diffusionremotesensing_tpu.utils import (
+    convert_png_to_jpg,
+    data_organizer_superresolution,
+    gif_maker,
+    psnr,
+    save_image,
+    save_preview_grid,
+    ssim,
+    video_maker,
+)
+
+
+def test_psnr_basics():
+    a = np.zeros((8, 8, 3))
+    assert psnr(a, a) == float("inf")
+    b = a + 0.1
+    assert abs(psnr(a, b) - 20.0) < 1e-6  # 10*log10(1/0.01)
+
+
+def test_ssim_basics():
+    rng = np.random.default_rng(0)
+    a = rng.random((32, 32, 3))
+    assert ssim(a, a) == pytest.approx(1.0, abs=1e-6)
+    assert ssim(a, 1 - a) < 0.5
+
+
+def test_video_and_gif_maker(tmp_path):
+    frames = [np.random.default_rng(i).random((16, 16, 3)).astype(np.float32) for i in range(5)]
+    vp = str(tmp_path / "denoise.mp4")
+    video_maker(frames, vp, fps=10)
+    assert os.path.getsize(vp) > 0
+    gp = str(tmp_path / "denoise.gif")
+    gif_maker(frames, gp, fps=10)
+    assert os.path.getsize(gp) > 0
+
+
+def test_save_image_and_grid(tmp_path):
+    img = np.random.default_rng(0).random((16, 16, 3)).astype(np.float32)
+    p = str(tmp_path / "img.png")
+    save_image(img, p)
+    assert Image.open(p).size == (16, 16)
+    gp = str(tmp_path / "grid.png")
+    save_preview_grid([(img, img)], ["a", "b"], gp)
+    assert os.path.getsize(gp) > 0
+
+
+def test_convert_png_to_jpg(tmp_path):
+    img = Image.fromarray(np.zeros((8, 8, 3), np.uint8))
+    img.save(tmp_path / "x.png")
+    convert_png_to_jpg(str(tmp_path))
+    assert os.path.exists(tmp_path / "x.jpg")
+    assert not os.path.exists(tmp_path / "x.png")
+
+
+def test_data_organizer(tmp_path):
+    src = tmp_path / "raw"
+    src.mkdir()
+    for i in range(20):
+        (src / f"f{i:02d}.txt").write_text(str(i))
+    data_organizer_superresolution(str(src), (0.8, 0.15, 0.05), seed=0)
+    train = os.listdir(src / "train_original")
+    val = os.listdir(src / "val_original")
+    test = os.listdir(src / "test_original")
+    assert len(train) == 16 and len(val) == 3 and len(test) == 1
+    assert sorted(train + val + test) == [f"f{i:02d}.txt" for i in range(20)]
