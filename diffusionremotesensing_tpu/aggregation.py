@@ -108,6 +108,8 @@ class AggregationSampler:
         magnification_factor: int,
         batch_size: int = 8,
         mesh=None,
+        ddim_steps: Optional[int] = None,
+        ddim_eta: float = 0.0,
     ):
         assert stride <= patch_size
         self.process = process
@@ -116,6 +118,8 @@ class AggregationSampler:
         self.mag = magnification_factor
         self.batch_size = batch_size
         self.mesh = mesh
+        self.ddim_steps = ddim_steps  # None = reference-parity DDPM sampling
+        self.ddim_eta = ddim_eta
         self.n_devices = mesh.devices.size if mesh is not None else 1
         hr = patch_size * magnification_factor
         self.weight = gaussian_weights(hr, hr)  # (hr, hr)
@@ -138,7 +142,10 @@ class AggregationSampler:
 
     def sample_patches(self, variables, patches: np.ndarray, key: jax.Array) -> np.ndarray:
         """Denoise all patches, chunked to a static per-call batch."""
-        sampler = self.process.sampler()
+        if self.ddim_steps is not None:
+            sampler = self.process.ddim_sampler(self.ddim_steps, self.ddim_eta)
+        else:
+            sampler = self.process.sampler()
         chunk = self._chunk()
         n = patches.shape[0]
         pad = (-n) % chunk

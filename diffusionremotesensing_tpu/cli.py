@@ -291,7 +291,17 @@ def launch_generation(args) -> None:
     results_dir = _results_dir(args.model_name)
     mesh = _make_mesh_if(args.multiple_gpus)
 
-    train_ds = ImageFolderDataset(os.path.join(args.dataset_path, "train"), args.image_size)
+    # reference semantics (train_diffusion_generation.py:566-586): the magic
+    # name 'cifar10' selects CIFAR10 at 32px; anything else is a
+    # class-per-subfolder ImageFolder rooted at ../<dataset_path> (the script
+    # lives in generate_new_imgs/ and data sits beside the repo root)
+    if args.dataset_path.lower() == "cifar10":
+        from diffusionremotesensing_tpu.data.cifar10 import Cifar10Dataset
+
+        train_ds = Cifar10Dataset("./Cifar10", train=True)
+        args.image_size = 32
+    else:
+        train_ds = ImageFolderDataset(os.path.join("..", args.dataset_path), args.image_size)
     num_classes = train_ds.num_classes
     n_dev = mesh.devices.size if mesh is not None else 1
     train_loader = DataLoader(train_ds, args.batch_size, shuffle=True, pad_to_multiple=n_dev if n_dev > 1 else None)
@@ -397,6 +407,8 @@ def launch_aggregation(args) -> None:
         stride=args.stride,
         magnification_factor=args.magnification_factor,
         batch_size=getattr(args, "batch_size", 16),
+        ddim_steps=getattr(args, "ddim_steps", None),
+        ddim_eta=getattr(args, "ddim_eta", 0.0),
     )
     out = sampler(variables, arr)
     save_image(out, args.destination_path)

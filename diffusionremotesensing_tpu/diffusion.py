@@ -31,6 +31,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from diffusionremotesensing_tpu.schedules import Schedule, make_schedule
 
@@ -149,6 +150,79 @@ def make_sampler(
     return sample
 
 
+def make_ddim_sampler(
+    apply_fn: Callable[..., jnp.ndarray],
+    schedule: Schedule,
+    num_steps: int,
+    *,
+    eta: float = 0.0,
+    cfg_scale: Optional[float] = None,
+    encode_cond_fn: Optional[Callable] = None,
+):
+    """DDIM sampler (Song et al., arXiv:2010.02502) over a strided timestep
+    subsequence — a framework addition beyond the reference (which only has
+    the T-step ancestral sampler): ``num_steps`` model evaluations instead of
+    T-1, deterministic at eta=0, approaching DDPM as eta -> 1.
+
+    Uses the same model/schedule as training; the timestep subsequence is
+    an even stride over [1, T), highest first.
+
+    Returns sample(variables, key, x_T, cond) -> x0.
+    """
+    T = schedule.noise_steps
+    # strided subsequence of [1, T), descending; pair each t with its
+    # predecessor in the subsequence (0 terminates, where alpha_hat -> 1)
+    taus = jnp.asarray(
+        np.unique(np.linspace(1, T - 1, num_steps).round().astype(np.int64))[::-1].copy()
+    )
+    taus_prev = jnp.concatenate([taus[1:], jnp.zeros((1,), taus.dtype)])
+    # alpha_hat at "t = 0" is defined as 1 (no noise)
+    ah_all = jnp.concatenate([jnp.ones((1,), schedule.alpha_hat.dtype), schedule.alpha_hat])
+
+    def sample(variables, key: jax.Array, x_T: jnp.ndarray, cond=None):
+        n = x_T.shape[0]
+        feats = None
+        if encode_cond_fn is not None and cond is not None:
+            feats = encode_cond_fn(variables, cond)
+
+        def eps_fn(x, t):
+            if cfg_scale is not None:
+                x2 = jnp.concatenate([x, x], axis=0)
+                t2 = jnp.concatenate([t, t], axis=0)
+                cond2 = jnp.concatenate([cond, cond], axis=0)
+                mask = jnp.concatenate(
+                    [jnp.ones((n,), x.dtype), jnp.zeros((n,), x.dtype)], axis=0
+                )
+                eps2 = apply_fn(variables, x2, t2, cond2, mask)
+                return eps2[n:] + cfg_scale * (eps2[:n] - eps2[n:])
+            if encode_cond_fn is not None:
+                return apply_fn(variables, x, t, cond, None, feats)
+            return apply_fn(variables, x, t, cond, None)
+
+        def step(carry, tt):
+            x, k = carry
+            t, t_prev = tt
+            k, k_noise = jax.random.split(k)
+            eps_hat = eps_fn(x, jnp.full((n,), t, jnp.int32))
+            ah = ah_all[t + 1]
+            ah_prev = ah_all[t_prev + 1]
+            x0_pred = (x - jnp.sqrt(1.0 - ah) * eps_hat) / jnp.sqrt(ah)
+            sigma = (
+                eta
+                * jnp.sqrt((1.0 - ah_prev) / (1.0 - ah))
+                * jnp.sqrt(1.0 - ah / ah_prev)
+            )
+            dir_xt = jnp.sqrt(jnp.maximum(1.0 - ah_prev - sigma**2, 0.0)) * eps_hat
+            z = jax.random.normal(k_noise, x.shape, dtype=x.dtype)
+            x = jnp.sqrt(ah_prev) * x0_pred + dir_xt + sigma * z
+            return (x, k), None
+
+        (x, _), _ = jax.lax.scan(step, (x_T, key), (taus, taus_prev))
+        return x
+
+    return sample
+
+
 class DiffusionProcess:
     """Convenience wrapper bundling a model apply_fn with a schedule.
 
@@ -191,6 +265,21 @@ class DiffusionProcess:
                 self.schedule,
                 cfg_scale=cfg_scale,
                 capture_frames=capture_frames,
+                encode_cond_fn=self.encode_cond_fn,
+            )
+            self._samplers[cache_key] = jax.jit(fn)
+        return self._samplers[cache_key]
+
+    def ddim_sampler(self, num_steps: int, eta: float = 0.0, cfg_scale: Optional[float] = None):
+        """Jitted DDIM sampler with ``num_steps`` model evaluations."""
+        cache_key = ("ddim", num_steps, eta, cfg_scale)
+        if cache_key not in self._samplers:
+            fn = make_ddim_sampler(
+                self.apply_fn,
+                self.schedule,
+                num_steps,
+                eta=eta,
+                cfg_scale=cfg_scale,
                 encode_cond_fn=self.encode_cond_fn,
             )
             self._samplers[cache_key] = jax.jit(fn)

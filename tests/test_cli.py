@@ -60,12 +60,12 @@ def test_train_superres_cli(workdir):
 
 
 def test_train_generation_cli(workdir):
+    # reference semantics: ImageFolder root is ../<dataset_path> relative to
+    # the run dir (the script lives in generate_new_imgs/)
     for c in ["ClassA", "ClassB"]:
-        _mk_images(os.path.join(workdir, "gen_data", "train", c), n=4, size=16)
-    # the generation script writes snapshots to ../models_run -> run from a subdir
+        _mk_images(os.path.join(workdir, "gen_data", c), n=4, size=16)
     rundir = os.path.join(workdir, "rundir")
     os.makedirs(rundir, exist_ok=True)
-    os.rename(os.path.join(workdir, "gen_data"), os.path.join(rundir, "gen_data"))
     _run(
         "generate_new_imgs/train_diffusion_generation.py",
         [

@@ -148,3 +148,63 @@ def test_hoisted_cond_features_match_inline():
     feats = m.apply(v, lr, method="encode_cond")
     hoisted = m.apply(v, x, t, None, train=False, cond_features=feats)
     np.testing.assert_allclose(np.asarray(hoisted), np.asarray(inline), atol=1e-6)
+
+
+def test_ddim_oracle_recovers_x0():
+    """With an oracle eps-model, DDIM at eta=0 must walk deterministically to
+    x0 in few steps."""
+    from diffusionremotesensing_tpu.diffusion import make_ddim_sampler
+
+    sched = make_schedule("cosine", 1000)
+    x0 = 0.3 * jnp.ones((2, 4, 4, 1))
+
+    def apply_fn(variables, x, t, cond, mask):
+        ah = sched.alpha_hat[t.astype(jnp.int32)][:, None, None, None]
+        return (x - jnp.sqrt(ah) * x0) / jnp.sqrt(1 - ah)
+
+    sampler = make_ddim_sampler(apply_fn, sched, num_steps=10, eta=0.0)
+    x_T = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 1))
+    out = sampler(None, jax.random.PRNGKey(1), x_T)
+    np.testing.assert_allclose(np.asarray(out), 0.3, atol=1e-3)
+
+
+def test_ddim_deterministic_at_eta0():
+    from diffusionremotesensing_tpu.diffusion import make_ddim_sampler
+    from diffusionremotesensing_tpu.models.unet import (
+        init_unet_params,
+        residual_attention_unet_generation,
+    )
+
+    m = residual_attention_unet_generation(num_classes=2)
+    v = init_unet_params(m, jax.random.PRNGKey(0), image_size=16)
+
+    def apply_fn(variables, x, t, cond, mask):
+        return m.apply(variables, x, t, cond, mask, train=False)
+
+    sched = make_schedule("cosine", 50)
+    sampler = make_ddim_sampler(apply_fn, sched, num_steps=5)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 3))
+    cond = jnp.array([1])
+    a = sampler(v, jax.random.PRNGKey(2), x_T, cond)
+    b = sampler(v, jax.random.PRNGKey(3), x_T, cond)  # different key, eta=0
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_ddim_process_api_with_cfg():
+    from diffusionremotesensing_tpu.models.unet import (
+        init_unet_params,
+        residual_attention_unet_generation,
+    )
+
+    m = residual_attention_unet_generation(num_classes=4)
+    v = init_unet_params(m, jax.random.PRNGKey(0), image_size=16)
+
+    def apply_fn(variables, x, t, cond, mask):
+        return m.apply(variables, x, t, cond, mask, train=False)
+
+    proc = DiffusionProcess("cosine", apply_fn, noise_steps=20, image_size=16, image_channels=3)
+    sampler = proc.ddim_sampler(num_steps=4, cfg_scale=3.0)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    out = sampler(v, jax.random.PRNGKey(2), x_T, jnp.array([0, 3]))
+    assert out.shape == (2, 16, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()
