@@ -35,6 +35,20 @@ def _configure_platform() -> None:
         jax.config.update("jax_platforms", "cpu")
 
 
+
+def _check_unet_type(name: str) -> None:
+    """Reference launchers accept only the Residual Attention UNet (the two
+    MultiHead variants are commented-out WIP in the reference,
+    UNet_model_superres.py:384-657)."""
+    known = "residual attention unet"
+    if (name or known).lower() != known:
+        raise ValueError(
+            "The UNet type must be Residual Attention UNet (MultiHead variants "
+            "are work-in-progress in the reference and not implemented)"
+        )
+    print("Using Residual Attention UNet")
+
+
 def _select_device(name: Optional[str]):
     import jax
 
@@ -105,6 +119,7 @@ def _results_dir(model_name: str) -> str:
 def launch_superres(args) -> None:
     """train_diffusion_superres launch (reference :513-693)."""
     _configure_platform()
+    _check_unet_type(getattr(args, 'UNet_type', None))
     import jax
 
     from diffusionremotesensing_tpu.data.datasets import (
@@ -223,6 +238,7 @@ def launch_superres(args) -> None:
 def launch_sar_to_ndvi(args) -> None:
     """train_diffusion_SAR_TO_NDVI launch (reference :505-636)."""
     _configure_platform()
+    _check_unet_type(getattr(args, 'UNet_type', None))
     from diffusionremotesensing_tpu.data.datasets import SarToNdviDataset
     from diffusionremotesensing_tpu.data.loader import DataLoader
     from diffusionremotesensing_tpu.models.unet import (
@@ -279,6 +295,7 @@ def launch_generation(args) -> None:
     (or CIFAR10) class-conditional training with CFG label dropout; no val
     loader (the reference passes val_loader=None, :625)."""
     _configure_platform()
+    _check_unet_type(getattr(args, 'UNet_type', None))
     from diffusionremotesensing_tpu.data.datasets import ImageFolderDataset
     from diffusionremotesensing_tpu.data.loader import DataLoader
     from diffusionremotesensing_tpu.models.unet import (
