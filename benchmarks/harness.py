@@ -122,6 +122,51 @@ def bench_aggregation(dtype_name: str = "bf16", tile_lr: int = 128):
     }
 
 
+def bench_train(dtype_name: str = "f32", batch: int = 16, steps: int = 20):
+    """Training-step throughput (forward + backward + Adam + EMA, jitted)."""
+    import jax
+
+    from diffusionremotesensing_tpu.models.unet import (
+        init_unet_params,
+        residual_attention_unet_superres,
+    )
+    from diffusionremotesensing_tpu.train import Trainer
+
+    model = residual_attention_unet_superres(magnification_factor=MAG)
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            variables = init_unet_params(model, jax.random.PRNGKey(0), image_size=HR_SIZE)
+    except RuntimeError:
+        variables = init_unet_params(model, jax.random.PRNGKey(0), image_size=HR_SIZE)
+    variables = jax.device_put(variables, jax.devices()[0])
+    trainer = Trainer(
+        model, "cosine", noise_steps=T, image_size=HR_SIZE, lr=1e-4,
+        loss="MSE", ema_smoothing=True,
+    )
+    state = trainer.init_state(variables)
+    step = trainer._build_train_step()
+    rng = np.random.default_rng(0)
+    batch_data = {
+        "x": rng.random((batch, HR_SIZE, HR_SIZE, 3)).astype(np.float32),
+        "cond": rng.random((batch, LR_SIZE, LR_SIZE, 3)).astype(np.float32),
+    }
+    state, loss = step(state, batch_data, trainer.next_key())  # compile
+    import jax as _j
+
+    _j.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, loss = step(state, batch_data, trainer.next_key())
+    _j.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / steps
+    return {
+        "train_steps_per_sec": 1.0 / dt,
+        "images_per_sec": batch / dt,
+        "config": f"HR{HR_SIZE} x{MAG} B{batch} MSE+EMA {dtype_name}",
+    }
+
+
 def bench_torch_baseline(reps: int = 10):
     if not os.path.isdir("/root/reference"):
         return None
@@ -199,6 +244,7 @@ def main():
     report["denoise"] = bench_denoise(args.dtype)
     if not args.quick:
         report["aggregation"] = bench_aggregation(args.dtype)
+        report["train"] = bench_train()
     report["torch_baseline"] = bench_torch_baseline()
     report["quality"] = bench_quality()
     if report["torch_baseline"]:
