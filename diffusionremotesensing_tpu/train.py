@@ -285,13 +285,15 @@ class Trainer:
                 train_loader.set_epoch(epoch)
 
             t0 = time.time()
-            running, nb = 0.0, 0
+            losses, nb = [], 0
             for batch in train_loader:
                 batch = self._prep_batch(batch)
                 state, loss = self._train_step(state, batch, self.next_key())
-                running += float(loss)
+                # keep losses on-device: a float() here would block dispatch
+                # of the next step and serialize host<->device every batch
+                losses.append(loss)
                 nb += 1
-            running /= max(nb, 1)
+            running = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
             sps = nb / max(time.time() - t0, 1e-9)
             if verbose and is_main_process():
                 print(f"Epoch {epoch}: Running Train ({self.loss_name}) {running:.6f}  [{sps:.2f} steps/s]")
@@ -304,12 +306,11 @@ class Trainer:
                     on_preview(state, epoch)
 
             if val_loader is not None:
-                running_val, nvb = 0.0, 0
+                val_losses = []
                 for batch in val_loader:
                     batch = self._prep_batch(batch)
-                    running_val += float(self._val_step(state, batch, self.next_key()))
-                    nvb += 1
-                running_val /= max(nvb, 1)
+                    val_losses.append(self._val_step(state, batch, self.next_key()))
+                running_val = float(jnp.mean(jnp.stack(val_losses))) if val_losses else 0.0
                 if verbose and is_main_process():
                     print(f"Epoch {epoch}: Running Val loss ({self.loss_name}) {running_val:.6f}")
                 self.metrics.log(epoch=epoch, val_loss=running_val)
