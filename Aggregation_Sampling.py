@@ -37,6 +37,9 @@ if __name__ == "__main__":
     parser.add_argument("--ddim_steps", type=int, default=None,
                         help="use DDIM with this many steps instead of the full DDPM chain")
     parser.add_argument("--ddim_eta", type=float, default=0.0)
+    parser.add_argument("--multiple_gpus", type=lambda v: str(v).lower() in ("yes", "true", "t", "1"),
+                        nargs="?", const=True, default=False,
+                        help="shard the patch batch across all local chips")
     args = parser.parse_args()
     args.snapshot_folder_path = os.path.join(os.curdir, "models_run", args.model_name, "weights")
     launch_aggregation(args)

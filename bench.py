@@ -33,7 +33,7 @@ def bench_tpu() -> float:
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
 
-    from diffusionremotesensing_tpu.diffusion import DiffusionProcess
+    from diffusionremotesensing_tpu.diffusion import make_process
     from diffusionremotesensing_tpu.models.unet import (
         init_unet_params,
         residual_attention_unet_superres,
@@ -51,16 +51,7 @@ def bench_tpu() -> float:
     dev = jax.devices()[0]
     variables = jax.device_put(variables, dev)
 
-    def apply_fn(v, x, t, cond, mask, cond_features=None):
-        return model.apply(v, x, t, cond, mask, train=False, cond_features=cond_features)
-
-    def encode_cond_fn(v, cond):
-        return model.apply(v, cond, method="encode_cond")
-
-    proc = DiffusionProcess(
-        "cosine", apply_fn, noise_steps=T, image_size=HR_SIZE, image_channels=3,
-        encode_cond_fn=encode_cond_fn,
-    )
+    proc = make_process(model, "cosine", T, HR_SIZE)
     sampler = proc.sampler()
 
     key = jax.random.PRNGKey(1)

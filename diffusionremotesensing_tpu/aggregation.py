@@ -150,7 +150,8 @@ class AggregationSampler:
         n = patches.shape[0]
         pad = (-n) % chunk
         if pad:
-            patches = np.concatenate([patches, patches[:pad]], axis=0)
+            # wrap-around: pad may exceed n (one patch padded to a chunk of 16)
+            patches = np.concatenate([patches, patches[np.arange(pad) % n]], axis=0)
         hr = self.patch_size * self.mag
         outs = []
         for start in range(0, patches.shape[0], chunk):

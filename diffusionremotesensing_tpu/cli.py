@@ -128,6 +128,7 @@ def launch_superres(args) -> None:
     )
     from diffusionremotesensing_tpu.data.loader import DataLoader
     from diffusionremotesensing_tpu.models.unet import residual_attention_unet_superres
+    from diffusionremotesensing_tpu.parallel.sharding import is_main_process
     from diffusionremotesensing_tpu.utils import save_preview_grid
 
     blur_radius = args.Blur_radius
@@ -188,9 +189,13 @@ def launch_superres(args) -> None:
     print("Num params: ", param_count(state.params))
 
     def on_preview(st, epoch):
+        # sampling runs on every process (global-mesh computation); only the
+        # file write is rank-0
         items = [val_ds[i] for i in range(min(5, len(val_ds)))]
         conds = np.stack([it["cond"] for it in items])
         sr = np.asarray(trainer.sample(st, n=len(items), cond=conds))
+        if not is_main_process():
+            return
         rows = [(it["cond"], it["x"], s) for it, s in zip(items, sr)]
         save_preview_grid(
             rows,
@@ -245,6 +250,7 @@ def launch_sar_to_ndvi(args) -> None:
         param_count,
         residual_attention_unet_sar_to_ndvi,
     )
+    from diffusionremotesensing_tpu.parallel.sharding import is_main_process
     from diffusionremotesensing_tpu.utils import save_preview_grid
 
     os.makedirs(args.snapshot_folder_path, exist_ok=True)
@@ -269,6 +275,8 @@ def launch_sar_to_ndvi(args) -> None:
         items = [val_ds[i] for i in range(min(5, len(val_ds)))]
         conds = np.stack([it["cond"] for it in items])
         pred = np.asarray(trainer.sample(st, n=len(items), cond=conds))
+        if not is_main_process():
+            return
         rows = [(it["cond"][..., :1], it["x"], p) for it, p in zip(items, pred)]
         save_preview_grid(
             rows,
@@ -302,6 +310,7 @@ def launch_generation(args) -> None:
         param_count,
         residual_attention_unet_generation,
     )
+    from diffusionremotesensing_tpu.parallel.sharding import is_main_process
     from diffusionremotesensing_tpu.utils import save_preview_grid
 
     os.makedirs(args.snapshot_folder_path, exist_ok=True)
@@ -336,6 +345,8 @@ def launch_generation(args) -> None:
     def on_preview(st, epoch):
         labels = np.arange(num_classes, dtype=np.int32)
         imgs = np.asarray(trainer.sample(st, n=num_classes, cond=labels, cfg_scale=3.0))
+        if not is_main_process():
+            return
         save_preview_grid(
             [[img] for img in imgs],
             ["generated"],
@@ -373,7 +384,6 @@ def launch_aggregation(args) -> None:
     from PIL import Image
 
     from diffusionremotesensing_tpu.aggregation import AggregationSampler, squarify_sizes
-    from diffusionremotesensing_tpu.diffusion import DiffusionProcess
     from diffusionremotesensing_tpu.io import load_snapshot
     from diffusionremotesensing_tpu.models.unet import residual_attention_unet_superres
     from diffusionremotesensing_tpu.utils import save_image
@@ -403,27 +413,18 @@ def launch_aggregation(args) -> None:
         img_lr = img_lr.resize((s, s), Image.BICUBIC)
     arr = np.asarray(img_lr.convert("RGB"), np.float32) / 255.0
 
-    def apply_fn(v, x, t, cond, mask, cond_features=None):
-        return model.apply(v, x, t, cond, mask, train=False, cond_features=cond_features)
-
-    def encode_cond_fn(v, cond):
-        return model.apply(v, cond, method="encode_cond")
-
     hr_patch = args.patch_size * args.magnification_factor
-    proc = DiffusionProcess(
-        args.noise_schedule,
-        apply_fn,
-        noise_steps=args.noise_steps,
-        image_size=hr_patch,
-        image_channels=args.inp_out_channels,
-        encode_cond_fn=encode_cond_fn,
-    )
+    from diffusionremotesensing_tpu.diffusion import make_process
+
+    proc = make_process(model, args.noise_schedule, args.noise_steps, hr_patch)
+    mesh = _make_mesh_if(getattr(args, "multiple_gpus", False))
     sampler = AggregationSampler(
         proc,
         patch_size=args.patch_size,
         stride=args.stride,
         magnification_factor=args.magnification_factor,
         batch_size=getattr(args, "batch_size", 16),
+        mesh=mesh,
         ddim_steps=getattr(args, "ddim_steps", None),
         ddim_eta=getattr(args, "ddim_eta", 0.0),
     )

@@ -21,6 +21,7 @@ from PIL import Image, ImageFilter
 
 from diffusionremotesensing_tpu.data.degradations import (
     _Rng,
+    _gaussian_noise,
     degradation_bsrgan_plus,
     imread_uint,
     single2uint,
@@ -99,28 +100,10 @@ class SuperresDownBlurDataset:
         x = x.filter(ImageFilter.GaussianBlur(self.blur_radius))
         x_arr = _to_float_hwc(x)
         if self.gauss_noise:
-            x_arr = self._add_gaussian_noise(x_arr, 2, 10)
+            # 3-mode noise (color/gray/channel-correlated), utils.py:15-38 —
+            # the DownBlurNoise variant uses levels in [2, 10]
+            x_arr = _gaussian_noise(self._rng, x_arr, 2, 10).astype(np.float32)
         return {"x": _to_float_hwc(y), "cond": x_arr}
-
-    def _add_gaussian_noise(self, img: np.ndarray, level1: int, level2: int) -> np.ndarray:
-        """3-mode noise (color/gray/channel-correlated), as utils.py:15-38."""
-        from scipy.linalg import orth
-
-        rng = self._rng
-        level = rng.randint(level1, level2)
-        r = rng.np_rand()
-        h, w = img.shape[:2]
-        if r > 0.6:
-            img = img + rng.np_normal(0, level / 255.0, img.shape).astype(np.float32)
-        elif r < 0.4:
-            img = img + rng.np_normal(0, level / 255.0, (h, w, 1)).astype(np.float32)
-        else:
-            L = level2 / 255.0
-            D = np.diag(rng.np_uniform(size=3))
-            U = orth(rng.np_uniform(size=(3, 3)))
-            cov = np.abs(L**2 * (U.T @ D @ U))
-            img = img + rng.np_multivariate_normal(np.zeros(3), cov, (h, w)).astype(np.float32)
-        return np.clip(img, 0.0, 1.0).astype(np.float32)
 
 
 class SuperresBSRGANDataset:

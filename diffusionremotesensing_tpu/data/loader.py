@@ -74,9 +74,16 @@ class DataLoader:
             n = len(items)
             rem = (-n) % m
             if rem:
+                # wrap-around indexing: rem may exceed n (e.g. a 3-row final
+                # batch padded to a multiple of 8 needs 5 repeats)
+                idx = np.arange(rem) % n
                 batch = {
-                    k: np.concatenate([v, v[:rem]], axis=0) for k, v in batch.items()
+                    k: np.concatenate([v, v[idx]], axis=0) for k, v in batch.items()
                 }
+                # pad rows are repeats of real samples; the loss slightly
+                # over-weights them on the final partial batch (documented,
+                # matches distributed-sampler-style padding). pad_mask lets
+                # consumers that care mask them out.
                 batch["pad_mask"] = np.concatenate(
                     [np.ones(n, np.float32), np.zeros(rem, np.float32)]
                 )

@@ -176,8 +176,6 @@ def make_ddim_sampler(
         np.unique(np.linspace(1, T - 1, num_steps).round().astype(np.int64))[::-1].copy()
     )
     taus_prev = jnp.concatenate([taus[1:], jnp.zeros((1,), taus.dtype)])
-    # alpha_hat at "t = 0" is defined as 1 (no noise)
-    ah_all = jnp.concatenate([jnp.ones((1,), schedule.alpha_hat.dtype), schedule.alpha_hat])
 
     def sample(variables, key: jax.Array, x_T: jnp.ndarray, cond=None):
         n = x_T.shape[0]
@@ -204,8 +202,11 @@ def make_ddim_sampler(
             t, t_prev = tt
             k, k_noise = jax.random.split(k)
             eps_hat = eps_fn(x, jnp.full((n,), t, jnp.int32))
-            ah = ah_all[t + 1]
-            ah_prev = ah_all[t_prev + 1]
+            ah = schedule.alpha_hat[t]
+            # terminal convention: alpha_hat at t_prev = 0 is 1 (no noise), so
+            # the final step returns x0_pred exactly and sigma -> 0 even at
+            # eta > 0 (mirrors the DDPM sampler's zero-noise last step)
+            ah_prev = jnp.where(t_prev > 0, schedule.alpha_hat[t_prev], 1.0)
             x0_pred = (x - jnp.sqrt(1.0 - ah) * eps_hat) / jnp.sqrt(ah)
             sigma = (
                 eta
@@ -221,6 +222,42 @@ def make_ddim_sampler(
         return x
 
     return sample
+
+
+def make_process(
+    model,
+    noise_schedule: str,
+    noise_steps: int,
+    image_size: int,
+    beta_start: float = 1e-4,
+    beta_end: float = 0.02,
+) -> "DiffusionProcess":
+    """Build a DiffusionProcess wired to a ResidualAttentionUNet: the standard
+    apply_fn (with cond_features passthrough) plus the hoisted condition-stem
+    encoder for image-conditioned variants. One definition for every call
+    site (CLI, inference helpers, benchmarks, trainer)."""
+
+    def apply_fn(variables, x, t, cond, cond_mask, cond_features=None):
+        return model.apply(
+            variables, x, t, cond, cond_mask, train=False, cond_features=cond_features
+        )
+
+    encode_cond_fn = None
+    if getattr(model, "conditioning", None) in ("superres", "sar"):
+
+        def encode_cond_fn(variables, cond):
+            return model.apply(variables, cond, method="encode_cond")
+
+    return DiffusionProcess(
+        noise_schedule,
+        apply_fn,
+        noise_steps=noise_steps,
+        beta_start=beta_start,
+        beta_end=beta_end,
+        image_size=image_size,
+        image_channels=model.image_channels,
+        encode_cond_fn=encode_cond_fn,
+    )
 
 
 class DiffusionProcess:

@@ -35,7 +35,7 @@ from flax import struct
 from flax.core import FrozenDict
 
 from diffusionremotesensing_tpu import io as dio
-from diffusionremotesensing_tpu.diffusion import DiffusionProcess, q_sample, sample_timesteps
+from diffusionremotesensing_tpu.diffusion import make_process, q_sample, sample_timesteps
 from diffusionremotesensing_tpu.ema import EMA_BETA, EMA_WARMUP_STEPS, ema_update
 from diffusionremotesensing_tpu.losses import make_loss_fn
 from diffusionremotesensing_tpu.parallel.sharding import (
@@ -80,6 +80,7 @@ class Trainer:
         beta_end: float = 0.02,
         seed: int = 0,
         metrics_path: Optional[str] = None,
+        vgg_variables=None,
     ):
         self.model = model
         self.image_size = image_size
@@ -92,29 +93,20 @@ class Trainer:
         self._rng = np.random.default_rng(seed)
         self._host_key = jax.random.PRNGKey(seed)
 
-        def apply_fn(variables, x, t, cond, cond_mask, cond_features=None):
-            return model.apply(
-                variables, x, t, cond, cond_mask, train=False, cond_features=cond_features
-            )
-
-        encode_cond_fn = None
-        if getattr(model, "conditioning", None) in ("superres", "sar"):
-            # hoist the loop-invariant condition stem out of the sampling scan
-            def encode_cond_fn(variables, cond):
-                return model.apply(variables, cond, method="encode_cond")
-
-        self.process = DiffusionProcess(
-            noise_schedule,
-            apply_fn,
-            noise_steps=noise_steps,
-            beta_start=beta_start,
-            beta_end=beta_end,
-            image_size=image_size,
-            image_channels=model.image_channels,
-            encode_cond_fn=encode_cond_fn,
+        self.process = make_process(
+            model, noise_schedule, noise_steps, image_size,
+            beta_start=beta_start, beta_end=beta_end,
         )
         self.schedule = self.process.schedule
-        self.loss_fn = make_loss_fn(loss)
+        if loss == "MSE+Perceptual_noise" and vgg_variables is None:
+            print(
+                "WARNING: MSE+Perceptual_noise selected without pretrained VGG19 "
+                "weights — using a fixed randomly-initialized VGG19 (random-"
+                "projection perceptual loss). Pass vgg_variables="
+                "losses.load_vgg19_params(<torch vgg19 state_dict>) for the "
+                "reference's pretrained-feature loss."
+            )
+        self.loss_fn = make_loss_fn(loss, vgg_variables=vgg_variables)
         self.optimizer = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
         self._train_step = None
         self._val_step = None
@@ -245,11 +237,14 @@ class Trainer:
         self._host_key, k = jax.random.split(self._host_key)
         return k
 
-    def _prep_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+    def _prep_batch(
+        self, batch: Dict[str, np.ndarray], train: bool = True
+    ) -> Dict[str, jnp.ndarray]:
         """Host batch -> device (sharded when on a mesh), with per-batch label
-        dropout for CFG training."""
+        dropout for CFG training (training batches only — the reference's val
+        path never drops labels)."""
         out = dict(batch)
-        if self.label_dropout > 0 and "cond" in out:
+        if train and self.label_dropout > 0 and "cond" in out:
             n = out["x"].shape[0]
             drop = self._rng.random() < self.label_dropout
             out["cond_mask"] = np.full((n,), 0.0 if drop else 1.0, np.float32)
@@ -299,7 +294,12 @@ class Trainer:
                 print(f"Epoch {epoch}: Running Train ({self.loss_name}) {running:.6f}  [{sps:.2f} steps/s]")
             self.metrics.log(epoch=epoch, train_loss=running, steps_per_sec=sps, step=int(state.step))
 
-            if epoch % check_preds_epoch == 0 and is_main_process():
+            if epoch % check_preds_epoch == 0:
+                # ALL processes enter this branch: under multi-host meshes the
+                # preview's jitted sampling is a global-mesh computation that
+                # every process must enqueue (rank-0-only would deadlock the
+                # collectives); file writes are rank-0-gated inside
+                # save_snapshot and the preview callbacks.
                 if val_loader is None:
                     self.save_snapshot(state, epoch)
                 if on_preview is not None:
@@ -308,7 +308,7 @@ class Trainer:
             if val_loader is not None:
                 val_losses = []
                 for batch in val_loader:
-                    batch = self._prep_batch(batch)
+                    batch = self._prep_batch(batch, train=False)
                     val_losses.append(self._val_step(state, batch, self.next_key()))
                 running_val = float(jnp.mean(jnp.stack(val_losses))) if val_losses else 0.0
                 if verbose and is_main_process():

@@ -20,7 +20,6 @@ def main():
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    from diffusionremotesensing_tpu.diffusion import DiffusionProcess
     from diffusionremotesensing_tpu.io import load_snapshot
     from diffusionremotesensing_tpu.models.unet import residual_attention_unet_generation
 
@@ -42,16 +41,17 @@ def main():
     state, _ = load_snapshot(snapshot_path)
     variables = {"params": state["params"], "batch_stats": state.get("batch_stats", {})}
 
-    def apply_fn(v, x, t, cond, mask, cond_features=None):
-        return model.apply(v, x, t, cond, mask, train=False)
+    from diffusionremotesensing_tpu.diffusion import make_process
 
-    proc = DiffusionProcess(
-        noise_schedule, apply_fn, noise_steps=noise_steps,
-        image_size=image_size, image_channels=input_channels,
-    )
-    # one batched call generates all 10 classes at once
+    proc = make_process(model, noise_schedule, noise_steps, image_size)
+    # one batched call generates all 10 classes at once, with the reference's
+    # default classifier-free guidance (cfg_scale=3,
+    # generate_new_imgs/train_diffusion_generation.py:206)
     labels = np.arange(len(classes), dtype=np.int32)
-    preds = np.clip(np.asarray(proc.sample(variables, jax.random.PRNGKey(0), n=len(classes), cond=labels)), 0, 1)
+    preds = np.clip(
+        np.asarray(proc.sample(variables, jax.random.PRNGKey(0), n=len(classes), cond=labels, cfg_scale=3.0)),
+        0, 1,
+    )
 
     save_path = os.path.join("..", "models_run", model_name, "results", "generated_imgs")
     os.makedirs(os.path.dirname(save_path), exist_ok=True)

@@ -55,7 +55,7 @@ def super_resolver(lr_img: np.ndarray, device=None, model_name: str = "", key=No
     """
     import jax
 
-    from diffusionremotesensing_tpu.diffusion import DiffusionProcess
+    from diffusionremotesensing_tpu.diffusion import make_process
     from diffusionremotesensing_tpu.models.unet import residual_attention_unet_superres
 
     magnification_factor = parse_magnification(model_name)
@@ -72,17 +72,7 @@ def super_resolver(lr_img: np.ndarray, device=None, model_name: str = "", key=No
         magnification_factor=magnification_factor,
     )
     variables = _load_variables(model_name, device)
-
-    def apply_fn(v, x, t, cond, mask, cond_features=None):
-        return model.apply(v, x, t, cond, mask, train=False, cond_features=cond_features)
-
-    def encode_cond_fn(v, cond):
-        return model.apply(v, cond, method="encode_cond")
-
-    proc = DiffusionProcess(
-        "cosine", apply_fn, noise_steps=1500, image_size=image_size,
-        image_channels=input_channels, encode_cond_fn=encode_cond_fn,
-    )
+    proc = make_process(model, "cosine", 1500, image_size)
     out = proc.sample(variables, key or jax.random.PRNGKey(0), n=1, cond=lr_img)
     return np.clip(np.asarray(out)[0], 0.0, 1.0)
 
@@ -92,7 +82,7 @@ def SAR_to_NDVI_generator(SAR_img_path: str, device=None, n_generations: int = 1
     'Residual_Attention_UNet_EMA_imgsize128_SAR_TO_NDVI' checkpoint."""
     import jax
 
-    from diffusionremotesensing_tpu.diffusion import DiffusionProcess
+    from diffusionremotesensing_tpu.diffusion import make_process
     from diffusionremotesensing_tpu.models.unet import residual_attention_unet_sar_to_ndvi
 
     SAR_channels, NDVI_channels = 2, 1
@@ -117,17 +107,7 @@ def SAR_to_NDVI_generator(SAR_img_path: str, device=None, n_generations: int = 1
         sar_channels=SAR_channels, ndvi_channels=NDVI_channels
     )
     variables = _load_variables(model_name, device)
-
-    def apply_fn(v, x, t, cond, mask, cond_features=None):
-        return model.apply(v, x, t, cond, mask, train=False, cond_features=cond_features)
-
-    def encode_cond_fn(v, cond):
-        return model.apply(v, cond, method="encode_cond")
-
-    proc = DiffusionProcess(
-        "cosine", apply_fn, noise_steps=1500, image_size=image_size,
-        image_channels=NDVI_channels, encode_cond_fn=encode_cond_fn,
-    )
+    proc = make_process(model, "cosine", 1500, image_size)
     out = proc.sample(variables, key or jax.random.PRNGKey(0), n=n_generations, cond=sar)
     return np.asarray(out)
 

@@ -119,3 +119,16 @@ def test_aggregation_sharded_matches_unsharded():
     expected = np.repeat(np.repeat(img, mag, 0), mag, 1)
     assert np.abs(out1 - expected).mean() < 0.08
     assert np.abs(out8 - expected).mean() < 0.08
+
+
+def test_aggregation_single_patch_pads_to_chunk():
+    """Regression: one patch with batch_size 16 must pad by wrap-around (the
+    old code under-padded and crashed inside the jitted sampler)."""
+    mag, patch = 2, 8
+    proc = _oracle_process(patch * mag, mag)
+    agg = AggregationSampler(proc, patch_size=patch, stride=patch, magnification_factor=mag, batch_size=16)
+    img = np.random.default_rng(1).random((8, 8, 3)).astype(np.float32)  # exactly 1 patch
+    out = agg(None, img, key=jax.random.PRNGKey(2))
+    assert out.shape == (16, 16, 3)
+    expected = np.repeat(np.repeat(img, mag, 0), mag, 1)
+    assert np.abs(out - expected).mean() < 0.08

@@ -169,3 +169,16 @@ def test_bsrgan_dataset_eager(img_dir, tmp_path):
     assert item["x"].shape == (32, 32, 3)
     assert len(os.listdir(os.path.join(dest, "lr"))) == 12
     assert len(os.listdir(os.path.join(dest, "hr"))) == 12
+
+
+def test_loader_pad_exceeding_batch_rows():
+    """Regression: rem > n must wrap-around, not silently under-pad."""
+    ds = [{"x": np.full((2, 2, 1), float(i), np.float32)} for i in range(3)]
+    loader = DataLoader(ds, batch_size=8, pad_to_multiple=8)
+    (batch,) = list(loader)
+    assert batch["x"].shape[0] == 8
+    assert batch["pad_mask"].tolist() == [1, 1, 1, 0, 0, 0, 0, 0]
+    # pad rows are wrap-around repeats of the real rows
+    np.testing.assert_array_equal(batch["x"][3], batch["x"][0])
+    np.testing.assert_array_equal(batch["x"][5], batch["x"][2])
+    np.testing.assert_array_equal(batch["x"][6], batch["x"][0])
