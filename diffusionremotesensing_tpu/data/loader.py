@@ -27,7 +27,12 @@ class DataLoader:
         shard_index: int = 0,
         pad_to_multiple: Optional[int] = None,
         drop_last: bool = False,
+        num_workers: int = 0,
+        prefetch: int = 2,
     ):
+        """``num_workers`` > 0 fetches items on a thread pool and prepares up
+        to ``prefetch`` batches ahead while the device computes (PIL/cv2/numpy
+        item work releases the GIL, so threads give real overlap)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -37,6 +42,8 @@ class DataLoader:
         self.shard_index = shard_index
         self.pad_to_multiple = pad_to_multiple
         self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.prefetch = max(prefetch, 1)
 
     def set_epoch(self, epoch: int) -> None:
         """Reseed the shuffle per epoch (DistributedSampler.set_epoch parity)."""
@@ -56,14 +63,33 @@ class DataLoader:
             rng.shuffle(idx)
         return idx[self.shard_index :: self.num_shards]
 
-    def __iter__(self) -> Iterator[Dict[str, Any]]:
+    def _batch_indices(self):
         idx = self._shard_indices()
         bs = self.batch_size
         stop = len(idx) - (len(idx) % bs) if self.drop_last else len(idx)
-        for start in range(0, stop, bs):
-            chunk = idx[start : start + bs]
-            items = [self.dataset[int(i)] for i in chunk]
-            yield self._collate(items)
+        return [idx[s : s + bs] for s in range(0, stop, bs)]
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        chunks = self._batch_indices()
+        if self.num_workers <= 0:
+            for chunk in chunks:
+                yield self._collate([self.dataset[int(i)] for i in chunk])
+            return
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        def fetch(chunk):
+            return self._collate([self.dataset[int(i)] for i in chunk])
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending = [pool.submit(fetch, c) for c in chunks[: self.prefetch]]
+            nxt = self.prefetch
+            while pending:
+                fut = pending.pop(0)
+                if nxt < len(chunks):
+                    pending.append(pool.submit(fetch, chunks[nxt]))
+                    nxt += 1
+                yield fut.result()
 
     def _collate(self, items: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
         batch = {

@@ -182,3 +182,13 @@ def test_loader_pad_exceeding_batch_rows():
     np.testing.assert_array_equal(batch["x"][3], batch["x"][0])
     np.testing.assert_array_equal(batch["x"][5], batch["x"][2])
     np.testing.assert_array_equal(batch["x"][6], batch["x"][0])
+
+
+def test_loader_num_workers_same_batches():
+    """Threaded prefetch must yield identical batches in identical order."""
+    ds = [{"x": np.full((2,), float(i), np.float32)} for i in range(17)]
+    a = list(DataLoader(ds, batch_size=4, shuffle=True, seed=3))
+    b = list(DataLoader(ds, batch_size=4, shuffle=True, seed=3, num_workers=4))
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["x"], y["x"])
