@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from diffusionremotesensing_tpu.diffusion import DiffusionProcess
-from diffusionremotesensing_tpu.parallel.sharding import batch_sharding, replicated_sharding
+from diffusionremotesensing_tpu.parallel.sharding import batch_sharding
 
 __all__ = ["patchify_coords", "gaussian_weights", "AggregationSampler", "squarify_sizes"]
 

@@ -14,7 +14,7 @@ All image data is float32 in [0, 1] (ToTensor semantics), channel-last.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 from PIL import Image, ImageFilter

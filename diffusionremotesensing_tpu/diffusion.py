@@ -26,7 +26,6 @@ image per sample() call, train_diffusion_superres.py:224).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Optional
 
 import jax

@@ -14,7 +14,7 @@ features (a random-projection perceptual loss), clearly reported.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -39,9 +39,7 @@ from diffusionremotesensing_tpu.diffusion import make_process, q_sample, sample_
 from diffusionremotesensing_tpu.ema import EMA_BETA, EMA_WARMUP_STEPS, ema_update
 from diffusionremotesensing_tpu.losses import make_loss_fn
 from diffusionremotesensing_tpu.parallel.sharding import (
-    batch_sharding,
     is_main_process,
-    make_mesh,
     replicated_sharding,
     shard_batch,
 )
