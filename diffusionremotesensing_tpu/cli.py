@@ -284,7 +284,7 @@ def launch_sar_to_ndvi(args) -> None:
             os.path.join(results_dir, f"SAR_TO_NDVI_{epoch}_epoch.png"),
         )
 
-    trainer.train(
+    state = trainer.train(
         state,
         epochs=args.epochs,
         train_loader=train_loader,
@@ -293,6 +293,17 @@ def launch_sar_to_ndvi(args) -> None:
         patience=args.patience,
         on_preview=on_preview,
     )
+
+    # final sampling figure from the train set (reference :620-636)
+    items = [train_ds[i] for i in range(min(5, len(train_ds)))]
+    conds = np.stack([it["cond"] for it in items])
+    pred = np.asarray(trainer.sample(state, n=len(items), cond=conds))
+    if is_main_process():
+        save_preview_grid(
+            [(it["cond"][..., :1], it["x"], p) for it, p in zip(items, pred)],
+            ["SAR image", "NDVI image", "NDVI pred image"],
+            os.path.join(results_dir, "SAR_TO_NDVI_results.png"),
+        )
 
 
 # -------------------------------------------------------------- generation

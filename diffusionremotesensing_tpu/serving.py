@@ -1,0 +1,248 @@
+"""Production serving: a micro-batching inference server for the three tasks.
+
+The reference has no serving story (inference is ad-hoc scripts); this module
+provides one designed around TPU execution characteristics:
+
+* requests are queued and **micro-batched** up to ``max_batch`` (padded to a
+  fixed shape with wrap-around so the jitted sampler never recompiles), then
+  denoised in ONE lax.scan — latency amortizes exactly like aggregation
+  sampling's patch axis;
+* the model/sampler compile once at startup (warmup request);
+* transport is stdlib HTTP (zero extra dependencies): POST /superres,
+  /sar_to_ndvi, /generate with a JSON body, base64-encoded PNG in/out,
+  GET /healthz for liveness.
+
+Example:
+    server = InferenceServer(model, variables, noise_schedule="cosine",
+                             noise_steps=200, image_size=128, task="superres")
+    server.serve(port=8000)          # blocking
+    # or programmatic:
+    out = server.infer_batch([lr_img1, lr_img2])
+"""
+
+from __future__ import annotations
+
+import base64
+import io as _io
+import json
+import queue
+import threading
+import time
+from typing import List, Optional
+
+import numpy as np
+
+
+class MicroBatcher:
+    """Collects requests into micro-batches: waits up to ``max_wait_ms`` for
+    the batch to fill, pads with wrap-around to the fixed ``max_batch`` so the
+    compiled sampler is reused for every request size."""
+
+    def __init__(self, run_batch, max_batch: int = 8, max_wait_ms: float = 10.0):
+        self._run_batch = run_batch
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    def submit(self, item) -> "queue.Queue":
+        done: "queue.Queue" = queue.Queue(maxsize=1)
+        self._q.put((item, done))
+        return done
+
+    def infer(self, item, timeout: Optional[float] = None):
+        result = self.submit(item).get(timeout=timeout)
+        if isinstance(result, Exception):
+            raise result
+        return result
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + self.max_wait
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            items = [b[0] for b in batch]
+            try:
+                outs = self._run_batch(items)
+                for (_, done), out in zip(batch, outs):
+                    done.put(out)
+            except Exception as e:  # propagate to all waiters
+                for _, done in batch:
+                    done.put(e)
+
+    def shutdown(self):
+        self._stop.set()
+        self._worker.join(timeout=2)
+
+
+class InferenceServer:
+    """Task-specific diffusion inference with micro-batching.
+
+    task: 'superres' | 'sar' (condition = image) | 'generation' (condition =
+    int label; CFG scale 3 like the reference).
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        noise_schedule: str,
+        noise_steps: int,
+        image_size: int,
+        task: str = "superres",
+        max_batch: int = 8,
+        max_wait_ms: float = 10.0,
+        ddim_steps: Optional[int] = None,
+        seed: int = 0,
+    ):
+        import jax
+
+        from diffusionremotesensing_tpu.diffusion import make_process
+
+        self.task = task
+        self.image_size = image_size
+        self.model = model
+        self.variables = variables
+        self.max_batch = max_batch
+        self.process = make_process(model, noise_schedule, noise_steps, image_size)
+        if ddim_steps is not None:
+            self._sampler = self.process.ddim_sampler(
+                ddim_steps, cfg_scale=3.0 if task == "generation" else None
+            )
+        elif task == "generation":
+            self._sampler = self.process.sampler(cfg_scale=3.0)
+        else:
+            self._sampler = self.process.sampler()
+        self._key = jax.random.PRNGKey(seed)
+        self._lock = threading.Lock()
+        self.batcher = MicroBatcher(self._run_batch, max_batch, max_wait_ms)
+
+    def _next_key(self):
+        import jax
+
+        with self._lock:
+            self._key, k = jax.random.split(self._key)
+            return k
+
+    def _run_batch(self, conds: List[np.ndarray]) -> List[np.ndarray]:
+        import jax
+        import jax.numpy as jnp
+
+        n = len(conds)
+        pad = self.max_batch - n
+        idx = list(range(n)) + [i % n for i in range(pad)]
+        cond = np.stack([np.asarray(conds[i], np.float32) for i in idx])
+        if self.task == "generation":
+            cond = jnp.asarray(cond.astype(np.int32).reshape(self.max_batch))
+        else:
+            cond = jnp.asarray(cond)
+        key = self._next_key()
+        x_T = jax.random.normal(
+            key, (self.max_batch, self.image_size, self.image_size, self.model.image_channels)
+        )
+        out = np.asarray(self._sampler(self.variables, jax.random.fold_in(key, 1), x_T, cond))
+        out = np.clip(out, 0.0, 1.0)
+        return [out[i] for i in range(n)]
+
+    def infer_batch(self, conds: List[np.ndarray], timeout: Optional[float] = 600) -> List[np.ndarray]:
+        """Synchronous helper: submit all, collect all (they may share one
+        device batch)."""
+        handles = [self.batcher.submit(c) for c in conds]
+        outs = []
+        for h in handles:
+            r = h.get(timeout=timeout)
+            if isinstance(r, Exception):
+                raise r
+            outs.append(r)
+        return outs
+
+    def warmup(self):
+        """Compile the sampler before accepting traffic."""
+        if self.task == "generation":
+            dummy = [np.int32(0)]
+        elif self.task == "superres":
+            s = self.image_size // (self.model.magnification_factor or 1)
+            dummy = [np.zeros((s, s, self.model.cond_channels), np.float32)]
+        else:
+            dummy = [np.zeros((self.image_size, self.image_size, self.model.cond_channels), np.float32)]
+        self.infer_batch(dummy)
+
+    # ----------------------------------------------------------- HTTP layer
+
+    def serve(self, host: str = "0.0.0.0", port: int = 8000, warmup: bool = True):
+        """Blocking stdlib HTTP server (threaded; requests micro-batch)."""
+        server = self.make_http_server(host, port, warmup=warmup)
+        print(f"serving {self.task} on {host}:{port}")
+        server.serve_forever()
+
+    def make_http_server(self, host: str = "127.0.0.1", port: int = 0, warmup: bool = False):
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        if warmup:
+            self.warmup()
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _reply(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._reply(200, {"status": "ok", "task": outer.task})
+                else:
+                    self._reply(404, {"error": "unknown path"})
+
+            def do_POST(self):
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(length) or b"{}")
+                    if self.path == "/generate" and outer.task == "generation":
+                        cond = np.int32(req["label"])
+                    elif self.path in ("/superres", "/sar_to_ndvi") and outer.task != "generation":
+                        cond = _decode_image(req["image"])
+                    else:
+                        self._reply(404, {"error": f"path {self.path} not served by task {outer.task}"})
+                        return
+                    out = outer.batcher.infer(cond, timeout=600)
+                    self._reply(200, {"image": _encode_image(out)})
+                except Exception as e:  # surface the error to the client
+                    self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+        return ThreadingHTTPServer((host, port), Handler)
+
+
+def _decode_image(b64: str) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(_io.BytesIO(base64.b64decode(b64)))
+    arr = np.asarray(img, np.float32) / 255.0
+    return arr[:, :, None] if arr.ndim == 2 else arr
+
+
+def _encode_image(arr: np.ndarray) -> str:
+    from PIL import Image
+
+    buf = _io.BytesIO()
+    Image.fromarray((np.clip(arr, 0, 1) * 255).astype(np.uint8).squeeze()).save(buf, "PNG")
+    return base64.b64encode(buf.getvalue()).decode()

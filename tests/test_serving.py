@@ -1,0 +1,117 @@
+"""Serving layer: micro-batching semantics and the HTTP surface."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+from PIL import Image
+
+from diffusionremotesensing_tpu.models.unet import (
+    init_unet_params,
+    residual_attention_unet_generation,
+    residual_attention_unet_superres,
+)
+from diffusionremotesensing_tpu.serving import InferenceServer, MicroBatcher
+
+
+def test_microbatcher_batches_and_orders():
+    calls = []
+
+    def run_batch(items):
+        calls.append(len(items))
+        return [i * 2 for i in items]
+
+    mb = MicroBatcher(run_batch, max_batch=4, max_wait_ms=50)
+    handles = [mb.submit(i) for i in range(6)]
+    results = [h.get(timeout=5) for h in handles]
+    assert results == [0, 2, 4, 6, 8, 10]
+    assert sum(calls) == 6
+    assert max(calls) <= 4
+    mb.shutdown()
+
+
+def test_microbatcher_propagates_errors():
+    def run_batch(items):
+        raise RuntimeError("boom")
+
+    mb = MicroBatcher(run_batch, max_batch=2, max_wait_ms=10)
+    r = mb.submit(1).get(timeout=5)
+    assert isinstance(r, RuntimeError)
+    mb.shutdown()
+
+
+def _superres_server(size=16, mag=2, max_batch=4):
+    model = residual_attention_unet_superres(magnification_factor=mag)
+    variables = init_unet_params(model, jax.random.PRNGKey(0), image_size=size)
+    return InferenceServer(
+        model, variables, noise_schedule="linear", noise_steps=6,
+        image_size=size, task="superres", max_batch=max_batch, max_wait_ms=20,
+    )
+
+
+def test_infer_batch_superres_shapes():
+    srv = _superres_server()
+    lr = [np.random.default_rng(i).random((8, 8, 3)).astype(np.float32) for i in range(3)]
+    outs = srv.infer_batch(lr)
+    assert len(outs) == 3
+    for o in outs:
+        assert o.shape == (16, 16, 3)
+        assert o.min() >= 0 and o.max() <= 1
+    srv.batcher.shutdown()
+
+
+def test_generation_server_with_labels():
+    model = residual_attention_unet_generation(num_classes=3)
+    variables = init_unet_params(model, jax.random.PRNGKey(0), image_size=16)
+    srv = InferenceServer(
+        model, variables, noise_schedule="cosine", noise_steps=5,
+        image_size=16, task="generation", max_batch=4, ddim_steps=3,
+    )
+    outs = srv.infer_batch([np.int32(0), np.int32(2)])
+    assert outs[0].shape == (16, 16, 3)
+    srv.batcher.shutdown()
+
+
+def test_http_surface():
+    srv = _superres_server()
+    httpd = srv.make_http_server(port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        # healthz
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
+            assert json.loads(r.read())["status"] == "ok"
+        # superres round-trip
+        img = Image.fromarray(
+            (np.random.default_rng(0).random((8, 8, 3)) * 255).astype(np.uint8)
+        )
+        buf = io.BytesIO()
+        img.save(buf, "PNG")
+        body = json.dumps({"image": base64.b64encode(buf.getvalue()).decode()}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/superres", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        png = base64.b64decode(out["image"])
+        arr = np.asarray(Image.open(io.BytesIO(png)))
+        assert arr.shape == (16, 16, 3)
+        # wrong path -> 404
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=b"{}",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        httpd.shutdown()
+        srv.batcher.shutdown()
