@@ -81,6 +81,16 @@ def create_variables(model, image_size: int, seed: int = 0, device=None):
     return variables
 
 
+
+def _model_dtype(args):
+    """--compute_dtype flag -> flax computation dtype (params stay f32)."""
+    if getattr(args, "compute_dtype", "float32") == "bfloat16":
+        import jax.numpy as jnp
+
+        return jnp.bfloat16
+    return None
+
+
 def _make_mesh_if(multiple: bool):
     if not multiple:
         return None
@@ -179,6 +189,7 @@ def launch_superres(args) -> None:
         image_channels=args.inp_out_channels,
         out_dim=args.inp_out_channels,
         magnification_factor=args.magnification_factor,
+        dtype=_model_dtype(args),
     )
     variables = create_variables(model, args.image_size)
     trainer = _build_trainer(model, args, args.image_size, mesh=mesh)
@@ -264,7 +275,8 @@ def launch_sar_to_ndvi(args) -> None:
     val_loader = DataLoader(val_ds, args.batch_size, shuffle=True, pad_to_multiple=n_dev if n_dev > 1 else None)
 
     model = residual_attention_unet_sar_to_ndvi(
-        sar_channels=args.SAR_channels, ndvi_channels=args.NDVI_channels
+        sar_channels=args.SAR_channels, ndvi_channels=args.NDVI_channels,
+        dtype=_model_dtype(args),
     )
     variables = create_variables(model, args.image_size)
     trainer = _build_trainer(model, args, args.image_size, mesh=mesh)
@@ -347,6 +359,7 @@ def launch_generation(args) -> None:
         image_channels=args.inp_out_channels,
         out_dim=args.inp_out_channels,
         num_classes=num_classes,
+        dtype=_model_dtype(args),
     )
     variables = create_variables(model, args.image_size)
     trainer = _build_trainer(model, args, args.image_size, label_dropout=0.1, mesh=mesh)

@@ -139,3 +139,31 @@ def test_snapshot_roundtrip(tmp_path):
     loaded, epochs = dio.load_snapshot(path)
     assert epochs == 7
     np.testing.assert_allclose(np.asarray(loaded["params"]["a"]), np.arange(4.0))
+
+
+def test_bf16_compute_training_learns(tmp_path):
+    """Mixed-precision training (bf16 compute, f32 params) must reduce loss."""
+    import jax.numpy as jnp
+
+    from diffusionremotesensing_tpu.models.unet import (
+        residual_attention_unet_generation as make_gen,
+    )
+
+    model = make_gen(num_classes=2, dtype=jnp.bfloat16)
+    init_model = make_gen(num_classes=2)
+    variables = init_unet_params(init_model, jax.random.PRNGKey(0), image_size=16)
+    trainer = Trainer(model, "linear", noise_steps=20, image_size=16, lr=1e-3, loss="MSE")
+    state = trainer.init_state(variables)
+    step = trainer._build_train_step()
+    ds = SyntheticGenDataset()
+    loader = DataLoader(ds, batch_size=8)
+    losses = []
+    for epoch in range(6):
+        loader.set_epoch(epoch)
+        for batch in loader:
+            state, loss = step(state, trainer._prep_batch(batch), trainer.next_key())
+            losses.append(float(loss))
+    # params must remain float32
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert leaf.dtype == jnp.float32
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])

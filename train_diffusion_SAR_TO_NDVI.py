@@ -29,6 +29,9 @@ if __name__ == "__main__":
     parser.add_argument("--UNet_type", type=str, default="Residual Attention UNet")
     parser.add_argument("--multiple_gpus", type=str2bool, nargs="?", const=True, default=False)
     parser.add_argument("--ema_smoothing", type=str2bool, nargs="?", const=True, default=False)
+    # framework addition: bfloat16 compute for training (params stay float32)
+    parser.add_argument("--compute_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"])
     args = parser.parse_args()
     args.snapshot_folder_path = os.path.join(os.curdir, "models_run", args.model_name, "weights")
     launch_sar_to_ndvi(args)
