@@ -239,6 +239,8 @@ def launch_superres(args) -> None:
         sr = np.asarray(sr)
     else:
         sr = np.asarray(trainer.sample(state, n=len(items), cond=conds))
+    if not is_main_process():
+        return
     from diffusionremotesensing_tpu.utils import save_preview_grid as _grid
 
     _grid(
@@ -390,6 +392,8 @@ def launch_generation(args) -> None:
     # final per-class grid (reference :630-638)
     labels = np.arange(num_classes, dtype=np.int32)
     imgs = np.asarray(trainer.sample(state, n=num_classes, cond=labels, cfg_scale=3.0))
+    if not is_main_process():
+        return
     save_preview_grid(
         [[img] for img in imgs],
         ["generated"],

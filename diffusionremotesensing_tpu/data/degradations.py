@@ -271,41 +271,59 @@ def _paired_random_crop(rng, lq, hq, sf, lq_patchsize):
 
 
 class _Rng:
-    """Single seedable source for both python-random- and numpy-style draws."""
+    """Single seedable source for both python-random- and numpy-style draws.
+
+    Draws are serialized with a lock: neither random.Random nor
+    numpy.Generator is thread-safe, and datasets holding one may be read from
+    the DataLoader's prefetch threads. (Thread scheduling still makes the
+    draw ORDER nondeterministic under num_workers > 0 — see DataLoader.)"""
 
     def __init__(self, seed: Optional[int] = None):
+        import threading
+
         self.py = _random.Random(seed)
         self.np = np.random.default_rng(seed)
+        self._lock = threading.Lock()
 
     def random(self):
-        return self.py.random()
+        with self._lock:
+            return self.py.random()
 
     def uniform(self, a, b):
-        return self.py.uniform(a, b)
+        with self._lock:
+            return self.py.uniform(a, b)
 
     def randint(self, a, b):  # inclusive, like random.randint
-        return self.py.randint(a, b)
+        with self._lock:
+            return self.py.randint(a, b)
 
     def choice(self, seq):
-        return self.py.choice(seq)
+        with self._lock:
+            return self.py.choice(seq)
 
     def sample(self, seq, k):
-        return self.py.sample(seq, k)
+        with self._lock:
+            return self.py.sample(seq, k)
 
     def np_rand(self):
-        return self.np.random()
+        with self._lock:
+            return self.np.random()
 
     def np_uniform(self, size=None):
-        return self.np.random(size)
+        with self._lock:
+            return self.np.random(size)
 
     def np_normal(self, loc, scale, size):
-        return self.np.normal(loc, scale, size)
+        with self._lock:
+            return self.np.normal(loc, scale, size)
 
     def np_multivariate_normal(self, mean, cov, size):
-        return self.np.multivariate_normal(mean, cov, size)
+        with self._lock:
+            return self.np.multivariate_normal(mean, cov, size)
 
     def np_poisson(self, lam):
-        return self.np.poisson(lam)
+        with self._lock:
+            return self.np.poisson(lam)
 
 
 def _as_rng(rng_or_seed) -> _Rng:

@@ -30,9 +30,16 @@ class DataLoader:
         num_workers: int = 0,
         prefetch: int = 2,
     ):
-        """``num_workers`` > 0 fetches items on a thread pool and prepares up
-        to ``prefetch`` batches ahead while the device computes (PIL/cv2/numpy
-        item work releases the GIL, so threads give real overlap)."""
+        """``num_workers`` > 0 fetches items on a thread pool and prepares
+        batches ahead while the device computes (PIL/cv2/numpy item work
+        releases the GIL, so threads give real overlap).
+
+        Batches arrive in the same order (and, for deterministic datasets,
+        with the same contents) as the single-threaded path. Datasets with
+        internal augmentation RNG (e.g. DownBlurNoise) draw in thread order,
+        so their *augmentations* are not run-reproducible under num_workers>0
+        — the underlying items and batch order still are.
+        """
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -81,9 +88,12 @@ class DataLoader:
         def fetch(chunk):
             return self._collate([self.dataset[int(i)] for i in chunk])
 
+        # keep enough batches in flight to occupy every worker (plus the
+        # lookahead) — otherwise num_workers > prefetch threads sit idle
+        inflight = max(self.prefetch, self.num_workers)
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            pending = [pool.submit(fetch, c) for c in chunks[: self.prefetch]]
-            nxt = self.prefetch
+            pending = [pool.submit(fetch, c) for c in chunks[:inflight]]
+            nxt = len(pending)
             while pending:
                 fut = pending.pop(0)
                 if nxt < len(chunks):

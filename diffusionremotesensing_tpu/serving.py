@@ -49,6 +49,9 @@ class MicroBatcher:
 
     def submit(self, item) -> "queue.Queue":
         done: "queue.Queue" = queue.Queue(maxsize=1)
+        if self._stop.is_set():
+            done.put(RuntimeError("server is shut down"))
+            return done
         self._q.put((item, done))
         return done
 
@@ -86,6 +89,13 @@ class MicroBatcher:
     def shutdown(self):
         self._stop.set()
         self._worker.join(timeout=2)
+        # fail any requests still queued so their waiters don't block forever
+        while True:
+            try:
+                _, done = self._q.get_nowait()
+            except queue.Empty:
+                break
+            done.put(RuntimeError("server is shut down"))
 
 
 class InferenceServer:
@@ -129,6 +139,29 @@ class InferenceServer:
         self._key = jax.random.PRNGKey(seed)
         self._lock = threading.Lock()
         self.batcher = MicroBatcher(self._run_batch, max_batch, max_wait_ms)
+        # the fixed shape every request must match (one compiled program;
+        # validated per request so one bad input cannot poison a micro-batch
+        # or trigger a multi-minute recompile)
+        if task == "superres":
+            s = image_size // (model.magnification_factor or 1)
+            self.expected_cond_shape = (s, s, model.cond_channels)
+        elif task == "sar":
+            self.expected_cond_shape = (image_size, image_size, model.cond_channels)
+        else:
+            self.expected_cond_shape = ()
+        self.num_classes = getattr(model, "num_classes", None)
+
+    def validate(self, cond) -> Optional[str]:
+        """Return an error message for an invalid request, else None."""
+        if self.task == "generation":
+            label = int(cond)
+            if self.num_classes is not None and not (0 <= label < self.num_classes):
+                return f"label {label} out of range [0, {self.num_classes})"
+            return None
+        shape = tuple(np.asarray(cond).shape)
+        if shape != self.expected_cond_shape:
+            return f"input shape {shape} != expected {self.expected_cond_shape}"
+        return None
 
     def _next_key(self):
         import jax
@@ -160,6 +193,10 @@ class InferenceServer:
     def infer_batch(self, conds: List[np.ndarray], timeout: Optional[float] = 600) -> List[np.ndarray]:
         """Synchronous helper: submit all, collect all (they may share one
         device batch)."""
+        for c in conds:
+            err = self.validate(c)
+            if err is not None:
+                raise ValueError(err)
         handles = [self.batcher.submit(c) for c in conds]
         outs = []
         for h in handles:
@@ -213,16 +250,26 @@ class InferenceServer:
                 else:
                     self._reply(404, {"error": "unknown path"})
 
+            _PATH_TASK = {"/superres": "superres", "/sar_to_ndvi": "sar", "/generate": "generation"}
+
             def do_POST(self):
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(length) or b"{}")
-                    if self.path == "/generate" and outer.task == "generation":
-                        cond = np.int32(req["label"])
-                    elif self.path in ("/superres", "/sar_to_ndvi") and outer.task != "generation":
-                        cond = _decode_image(req["image"])
-                    else:
+                    if self._PATH_TASK.get(self.path) != outer.task:
                         self._reply(404, {"error": f"path {self.path} not served by task {outer.task}"})
+                        return
+                    field = "label" if outer.task == "generation" else "image"
+                    if field not in req:
+                        self._reply(400, {"error": f"missing required field {field!r}"})
+                        return
+                    if outer.task == "generation":
+                        cond = np.int32(req["label"])
+                    else:
+                        cond = _decode_image(req["image"])
+                    err = outer.validate(cond)
+                    if err is not None:
+                        self._reply(400, {"error": err})
                         return
                     out = outer.batcher.infer(cond, timeout=600)
                     self._reply(200, {"image": _encode_image(out)})

@@ -115,3 +115,46 @@ def test_http_surface():
     finally:
         httpd.shutdown()
         srv.batcher.shutdown()
+
+
+def test_validation_rejects_bad_inputs():
+    srv = _superres_server()
+    # wrong spatial size
+    try:
+        srv.infer_batch([np.zeros((9, 9, 3), np.float32)])
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "shape" in str(e)
+    srv.batcher.shutdown()
+    # out-of-range label
+    model = residual_attention_unet_generation(num_classes=3)
+    variables = init_unet_params(model, jax.random.PRNGKey(0), image_size=16)
+    gsrv = InferenceServer(
+        model, variables, noise_schedule="linear", noise_steps=4,
+        image_size=16, task="generation", max_batch=2,
+    )
+    try:
+        gsrv.infer_batch([np.int32(7)])
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "out of range" in str(e)
+    gsrv.batcher.shutdown()
+
+
+def test_shutdown_fails_pending_and_new_requests():
+    import queue as _q
+
+    def slow(items):
+        import time as _t
+
+        _t.sleep(0.2)
+        return items
+
+    mb = MicroBatcher(slow, max_batch=1, max_wait_ms=1)
+    h1 = mb.submit(1)
+    mb.shutdown()
+    r1 = h1.get(timeout=5)
+    assert r1 == 1 or isinstance(r1, RuntimeError)  # in-flight may finish
+    # new submissions after shutdown fail fast instead of hanging
+    r2 = mb.submit(2).get(timeout=5)
+    assert isinstance(r2, RuntimeError)
