@@ -311,7 +311,19 @@ def launch_sar_to_ndvi(args) -> None:
     # final sampling figure from the train set (reference :620-636)
     items = [train_ds[i] for i in range(min(5, len(train_ds)))]
     conds = np.stack([it["cond"] for it in items])
-    pred = np.asarray(trainer.sample(state, n=len(items), cond=conds))
+    if args.generate_video:
+        pred, frames = trainer.sample(state, n=len(items), cond=conds, capture_frames=True)
+        pred = np.asarray(pred)
+        if is_main_process():
+            from diffusionremotesensing_tpu.utils import video_maker
+
+            video_maker(
+                [np.asarray(f[0]) for f in np.asarray(frames)],
+                os.path.join(results_dir, "video_denoising.mp4"),
+                fps=100,
+            )
+    else:
+        pred = np.asarray(trainer.sample(state, n=len(items), cond=conds))
     if is_main_process():
         save_preview_grid(
             [(it["cond"][..., :1], it["x"], p) for it, p in zip(items, pred)],
@@ -369,13 +381,16 @@ def launch_generation(args) -> None:
     print("Num params: ", param_count(state.params))
 
     def on_preview(st, epoch):
-        labels = np.arange(num_classes, dtype=np.int32)
-        imgs = np.asarray(trainer.sample(st, n=num_classes, cond=labels, cfg_scale=3.0))
+        # reference layout: num_classes rows x 5 samples per class
+        # (train_diffusion_generation.py:442-452), one batched call here
+        labels = np.repeat(np.arange(num_classes, dtype=np.int32), 5)
+        imgs = np.asarray(trainer.sample(st, n=num_classes * 5, cond=labels, cfg_scale=3.0))
         if not is_main_process():
             return
+        rows = [imgs[i * 5 : (i + 1) * 5] for i in range(num_classes)]
         save_preview_grid(
-            [[img] for img in imgs],
-            ["generated"],
+            rows,
+            [f"Class sample {j}" for j in range(5)],
             os.path.join(results_dir, f"generation_{epoch}_epoch.png"),
         )
 
@@ -391,7 +406,21 @@ def launch_generation(args) -> None:
 
     # final per-class grid (reference :630-638)
     labels = np.arange(num_classes, dtype=np.int32)
-    imgs = np.asarray(trainer.sample(state, n=num_classes, cond=labels, cfg_scale=3.0))
+    if args.generate_video:
+        imgs, frames = trainer.sample(
+            state, n=num_classes, cond=labels, cfg_scale=3.0, capture_frames=True
+        )
+        imgs = np.asarray(imgs)
+        if is_main_process():
+            from diffusionremotesensing_tpu.utils import video_maker
+
+            video_maker(
+                [np.asarray(f[0]) for f in np.asarray(frames)],
+                os.path.join(results_dir, "video_denoising.mp4"),
+                fps=100,
+            )
+    else:
+        imgs = np.asarray(trainer.sample(state, n=num_classes, cond=labels, cfg_scale=3.0))
     if not is_main_process():
         return
     save_preview_grid(

@@ -135,3 +135,26 @@ def test_aggregation_cli_with_trained_snapshot(workdir):
     )
     out = Image.open(os.path.join(workdir, "sr_out.png"))
     assert out.size == (64, 64)
+
+
+def test_generation_cli_with_video_and_preview_grid(workdir):
+    """--generate_video writes the denoising mp4; previews use the
+    reference's classes x 5 layout."""
+    for c in ["ClassA", "ClassB"]:
+        _mk_images(os.path.join(workdir, "gen_data", c), n=4, size=16)
+    rundir = os.path.join(workdir, "rundir")
+    os.makedirs(rundir, exist_ok=True)
+    _run(
+        "generate_new_imgs/train_diffusion_generation.py",
+        [
+            "--epochs", "1", "--batch_size", "4", "--image_size", "16",
+            "--noise_steps", "6", "--model_name", "smoke_genvid",
+            "--dataset_path", "gen_data", "--loss", "MSE",
+            "--check_preds_epoch", "1", "--generate_video", "true",
+        ],
+        rundir,
+    )
+    results = os.path.join(workdir, "models_run", "smoke_genvid", "results")
+    assert os.path.exists(os.path.join(results, "video_denoising.mp4"))
+    assert os.path.exists(os.path.join(results, "generation_0_epoch.png"))
+    assert os.path.exists(os.path.join(results, "generation_results.png"))
