@@ -117,8 +117,14 @@ def _build_trainer(model, args, image_size, label_dropout=0.0, mesh=None):
     )
 
 
-def _results_dir(model_name: str) -> str:
-    d = os.path.join(os.curdir, "models_run", model_name, "results")
+def _results_dir(model_name: str, snapshot_folder_path: Optional[str] = None) -> str:
+    """models_run/<name>/results next to the weights folder — the generation
+    script runs from generate_new_imgs/ and uses ../models_run (reference
+    train_diffusion_generation.py:433), the others use ./models_run."""
+    if snapshot_folder_path:
+        d = os.path.join(os.path.dirname(snapshot_folder_path), "results")
+    else:
+        d = os.path.join(os.curdir, "models_run", model_name, "results")
     os.makedirs(d, exist_ok=True)
     return d
 
@@ -151,7 +157,7 @@ def launch_superres(args) -> None:
     print("Using EMA smoothing" if args.ema_smoothing else "Not using EMA smoothing")
 
     os.makedirs(args.snapshot_folder_path, exist_ok=True)
-    results_dir = _results_dir(args.model_name)
+    results_dir = _results_dir(args.model_name, args.snapshot_folder_path)
     mesh = _make_mesh_if(args.multiple_gpus)
 
     deg = args.Degradation_type.lower()
@@ -267,7 +273,7 @@ def launch_sar_to_ndvi(args) -> None:
     from diffusionremotesensing_tpu.utils import save_preview_grid
 
     os.makedirs(args.snapshot_folder_path, exist_ok=True)
-    results_dir = _results_dir(args.model_name)
+    results_dir = _results_dir(args.model_name, args.snapshot_folder_path)
     mesh = _make_mesh_if(args.multiple_gpus)
 
     train_ds = SarToNdviDataset(os.path.join(args.dataset_path, "train"))
@@ -351,7 +357,7 @@ def launch_generation(args) -> None:
     from diffusionremotesensing_tpu.utils import save_preview_grid
 
     os.makedirs(args.snapshot_folder_path, exist_ok=True)
-    results_dir = _results_dir(args.model_name)
+    results_dir = _results_dir(args.model_name, args.snapshot_folder_path)
     mesh = _make_mesh_if(args.multiple_gpus)
 
     # reference semantics (train_diffusion_generation.py:566-586): the magic
