@@ -258,7 +258,123 @@ def load_torch_snapshot(path: str) -> Tuple[Dict[str, Any], int]:
     return state, int(snap.get("EPOCHS_RUN", 0))
 
 
-def export_torch_state_dict(variables) -> Dict[str, Any]:
-    """Inverse of :func:`import_torch_state_dict` (for round-trip tests and
-    for users migrating back)."""
-    raise NotImplementedError("export is planned; import covers parity testing")
+def export_torch_state_dict(variables, conditioning: str = "superres") -> Dict[str, Any]:
+    """Inverse of :func:`import_torch_state_dict`: flax variables -> a torch
+    state_dict loadable by the corresponding reference model class
+    (strict=True — every key the reference registers is emitted, including
+    the Sequential-duplicated BatchNorm spellings and num_batches_tracked).
+
+    ``conditioning`` selects the reference's attribute names:
+    'superres' -> LR_encoder/conv_upsampled_lr_img, 'sar' ->
+    SAR_encoder/conv_SAR_img, 'class' -> conv_skip/label_emb.
+    """
+    import torch
+
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    out: Dict[str, Any] = {}
+
+    def T(x):
+        return torch.from_numpy(np.asarray(x).copy())
+
+    def put_conv(torch_name, node):
+        out[f"{torch_name}.weight"] = T(np.transpose(np.asarray(node["conv"]["kernel"]), (3, 2, 0, 1)))
+        out[f"{torch_name}.bias"] = T(node["conv"]["bias"])
+
+    def put_linear(torch_name, node):
+        out[f"{torch_name}.weight"] = T(np.asarray(node["linear"]["kernel"]).T)
+        out[f"{torch_name}.bias"] = T(node["linear"]["bias"])
+
+    def put_bn(torch_names, pnode, snode):
+        for tn in torch_names:
+            out[f"{tn}.weight"] = T(pnode["scale"])
+            out[f"{tn}.bias"] = T(pnode["bias"])
+            out[f"{tn}.running_mean"] = T(snode["mean"])
+            out[f"{tn}.running_var"] = T(snode["var"])
+            out[f"{tn}.num_batches_tracked"] = torch.tensor(0, dtype=torch.long)
+
+    def put_convtranspose(torch_name, node):
+        # HWIO forward-equivalent kernel -> torch IOHW with spatial flip
+        k = np.asarray(node["kernel"])[::-1, ::-1]
+        out[f"{torch_name}.weight"] = T(np.transpose(k, (2, 3, 0, 1)))
+        out[f"{torch_name}.bias"] = T(node["bias"])
+
+    # fail early on a tree/conditioning mismatch (a wrong name would otherwise
+    # only surface as a confusing strict-load error in torch)
+    if conditioning in ("superres", "sar"):
+        if "cond_encoder" not in params:
+            raise KeyError(
+                f"conditioning={conditioning!r} expects an image-conditioned tree "
+                "(no 'cond_encoder' found — is this a generation model?)"
+            )
+        cond_in = np.asarray(params["cond_encoder"]["conv_out"]["conv"]["kernel"]).shape[2]
+        expected = {"superres": 3, "sar": 2}[conditioning]
+        if cond_in != expected:
+            raise KeyError(
+                f"conditioning={conditioning!r} expects a {expected}-channel condition "
+                f"encoder, found {cond_in} channels — wrong variant?"
+            )
+    elif "cond_encoder" in params:
+        raise KeyError("conditioning='class' given but the tree has an image condition encoder")
+
+    skip_name = {
+        "superres": "conv_upsampled_lr_img",
+        "sar": "conv_SAR_img",
+        "class": "conv_skip",
+    }[conditioning]
+
+    def put_resblock(torch_prefix, flax_name):
+        p, s = params[flax_name], stats[flax_name]
+        put_linear(f"{torch_prefix}.time_mlp.0", p["time_mlp"]["fc1"])
+        put_linear(f"{torch_prefix}.time_mlp.2", p["time_mlp"]["fc2"])
+        put_conv(f"{torch_prefix}.conv1.0", p["conv1"])
+        put_conv(f"{torch_prefix}.{skip_name}", p["conv_skip"])
+        put_conv(f"{torch_prefix}.conv2.0", p["conv2"])
+        put_conv(f"{torch_prefix}.shortcut_conv.0", p["shortcut_conv"])
+        # the reference registers each BN twice (attribute + inside Sequential)
+        put_bn([f"{torch_prefix}.batch_norm1", f"{torch_prefix}.conv1.1"], p["BatchNorm_0"], s["BatchNorm_0"])
+        put_bn([f"{torch_prefix}.batch_norm2", f"{torch_prefix}.conv2.1"], p["BatchNorm_1"], s["BatchNorm_1"])
+        put_bn(
+            [f"{torch_prefix}.shortcut_batch_norm", f"{torch_prefix}.shortcut_conv.1"],
+            p["BatchNorm_2"], s["BatchNorm_2"],
+        )
+
+    put_conv("conv0", params["conv0"])
+    put_conv("output", params["output"])
+    if conditioning in ("superres", "sar"):
+        enc_name = "LR_encoder" if conditioning == "superres" else "SAR_encoder"
+        cond_conv = "conv_upsampled_lr_img" if conditioning == "superres" else "conv_SAR_img"
+        put_conv(cond_conv, params["conv_cond"])
+        for i in range(3):
+            blk = params["cond_encoder"][f"block{i}"]
+            put_conv(f"{enc_name}.blocks.{i}.conv1", blk["conv1"])
+            put_conv(f"{enc_name}.blocks.{i}.conv2", blk["conv2"])
+        put_conv(f"{enc_name}.conv_out", params["cond_encoder"]["conv_out"])
+    if conditioning == "class" and "label_emb" in params:
+        out["label_emb.weight"] = T(params["label_emb"]["embedding"])
+
+    for i in range(3):
+        put_resblock(f"conv_blocks.{i}", f"conv_block{i}")
+        put_conv(f"downs.{i}", params[f"down{i}"])
+    put_resblock("bottle_neck", "bottle_neck")
+
+    for i in range(3):
+        put_conv(f"gating_signals.{i}.conv", params[f"gating{i}"]["conv"])
+        put_bn([f"gating_signals.{i}.batch_norm"], params[f"gating{i}"]["BatchNorm_0"], stats[f"gating{i}"]["BatchNorm_0"])
+        a = params[f"attention{i}"]
+        sa = stats[f"attention{i}"]
+        put_conv(f"attention_blocks.{i}.w_g.0", a["w_g"])
+        put_conv(f"attention_blocks.{i}.w_x.0", a["w_x"])
+        put_conv(f"attention_blocks.{i}.psi.0", a["psi"])
+        put_conv(f"attention_blocks.{i}.result.0", a["result_conv"])
+        put_bn([f"attention_blocks.{i}.result.1"], a["BatchNorm_0"], sa["BatchNorm_0"])
+        u = params[f"up{i}"]
+        su = stats[f"up{i}"]
+        put_linear(f"ups.{i}.time_mlp.0", u["time_mlp"]["fc1"])
+        put_linear(f"ups.{i}.time_mlp.2", u["time_mlp"]["fc2"])
+        put_conv(f"ups.{i}.conv", u["conv"])
+        put_bn([f"ups.{i}.batch_norm"], u["BatchNorm_0"], su["BatchNorm_0"])
+        put_convtranspose(f"ups.{i}.transform", u["transform"])
+        put_conv(f"up_convs.{i}", params[f"up_conv{i}"])
+
+    return out

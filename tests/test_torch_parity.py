@@ -118,3 +118,55 @@ def test_generation_forward_parity(rng, with_label):
         train=False,
     )
     np.testing.assert_allclose(np.asarray(got), _nhwc(ref), rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("variant", ["superres", "sar", "class"])
+def test_export_roundtrip_loads_strict_into_torch(rng, variant):
+    """flax -> torch export must load with strict=True into the reference
+    model class and produce the same forward as the flax stack."""
+    from diffusionremotesensing_tpu.io import export_torch_state_dict
+    from diffusionremotesensing_tpu.models.unet import init_unet_params
+
+    if variant == "superres":
+        from UNet_model_superres import Residual_Attention_UNet_superres as TM
+
+        fm = residual_attention_unet_superres(magnification_factor=2)
+        tm = TM(device="cpu")
+    elif variant == "sar":
+        from UNet_model_SAR_TO_NDVI import Residual_Attention_UNet_SAR_TO_NDVI as TM
+
+        fm = residual_attention_unet_sar_to_ndvi()
+        tm = TM(device="cpu")
+    else:
+        from UNet_model_generation import Residual_Attention_UNet_generation as TM
+
+        fm = residual_attention_unet_generation(num_classes=10)
+        tm = TM(num_classes=10, device="cpu")
+
+    variables = init_unet_params(fm, jax.random.PRNGKey(3), image_size=16)
+    sd = export_torch_state_dict(variables, conditioning=variant)
+    tm.load_state_dict(sd, strict=True)
+    tm.eval()
+
+    x_ch = 1 if variant == "sar" else 3
+    x = rng.standard_normal((2, x_ch, 16, 16)).astype(np.float32)
+    t = np.array([3, 9], np.int64)
+    if variant == "superres":
+        cond = rng.standard_normal((2, 3, 8, 8)).astype(np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(cond), 2)
+        got = fm.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t),
+                       jnp.asarray(cond.transpose(0, 2, 3, 1)), train=False)
+    elif variant == "sar":
+        cond = rng.standard_normal((2, 2, 16, 16)).astype(np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(cond))
+        got = fm.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t),
+                       jnp.asarray(cond.transpose(0, 2, 3, 1)), train=False)
+    else:
+        y = np.array([1, 7], np.int64)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(y))
+        got = fm.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t),
+                       jnp.asarray(y), train=False)
+    np.testing.assert_allclose(np.asarray(got), _nhwc(ref), rtol=1e-3, atol=1e-4)
