@@ -1,11 +1,21 @@
 """model_name parsing convention and make_process wiring."""
 
+import os
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from superres_and_NDVIgen import parse_imgsize, parse_lr_imgsize, parse_magnification
+# other test modules prepend /root/reference to sys.path, which shadows OUR
+# superres_and_NDVIgen with the reference's (torch-only) module of the same
+# name — pin the repo root first
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if "superres_and_NDVIgen" in sys.modules:
+    del sys.modules["superres_and_NDVIgen"]
+
+from superres_and_NDVIgen import parse_imgsize, parse_lr_imgsize, parse_magnification  # noqa: E402
 
 
 def test_model_name_parsing():
