@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from diffusionremotesensing_tpu.diffusion import DiffusionProcess
-from diffusionremotesensing_tpu.parallel.sharding import batch_sharding
+from diffusionremotesensing_tpu.parallel.sharding import batch_sharding, replicated_sharding
 
 __all__ = ["patchify_coords", "gaussian_weights", "AggregationSampler", "squarify_sizes"]
 
@@ -153,6 +153,9 @@ class AggregationSampler:
             # wrap-around: pad may exceed n (one patch padded to a chunk of 16)
             patches = np.concatenate([patches, patches[np.arange(pad) % n]], axis=0)
         hr = self.patch_size * self.mag
+        if self.mesh is not None:
+            # params/stats must be replicated across the mesh the batch spans
+            variables = jax.device_put(variables, replicated_sharding(self.mesh))
         outs = []
         for start in range(0, patches.shape[0], chunk):
             key, k_init, k_samp = jax.random.split(key, 3)

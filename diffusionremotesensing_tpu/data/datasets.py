@@ -120,31 +120,43 @@ class SuperresBSRGANDataset:
         degradation_type: str = "BSR_plus",
         destination_folder: Optional[str] = None,
         seed: int = 0,
+        num_workers: int = 0,
     ):
-        rng = _Rng(seed)
-        lrs, hrs = [], []
+        if degradation_type == "BSR_plus":
+            pipeline = degradation_bsrgan_plus
+        elif degradation_type == "soft_BSR_plus":
+            pipeline = soft_degradation_bsrgan
+        else:
+            raise ValueError("degradation_type must be 'BSR_plus' or 'soft_BSR_plus'")
         filenames = sorted(os.listdir(root_dir))
-        for name in filenames:
-            path = os.path.join(root_dir, name)
-            for _ in range(num_crops):
-                hq = uint2single(imread_uint(path, 3))
-                if degradation_type == "BSR_plus":
-                    lq, hq = degradation_bsrgan_plus(
-                        hq, sf=magnification_factor, lq_patchsize=model_input_size, rng=rng
-                    )
-                elif degradation_type == "soft_BSR_plus":
-                    lq, hq = soft_degradation_bsrgan(
-                        hq, sf=magnification_factor, lq_patchsize=model_input_size, rng=rng
-                    )
-                else:
-                    raise ValueError("degradation_type must be 'BSR_plus' or 'soft_BSR_plus'")
-                # uint8 quantize round-trip, like the reference's
-                # single2uint -> ToTensor (utils.py:213-218)
-                lrs.append(uint2single(single2uint(lq)))
-                hrs.append(uint2single(single2uint(hq)))
-        order = rng.sample(range(len(lrs)), len(lrs))
-        self.lr_images = [lrs[i] for i in order]
-        self.hr_images = [hrs[i] for i in order]
+        jobs = [
+            (os.path.join(root_dir, name), seed + 7919 * (j * num_crops + c + 1))
+            for j, name in enumerate(filenames)
+            for c in range(num_crops)
+        ]
+
+        def degrade(job):
+            path, job_seed = job
+            hq = uint2single(imread_uint(path, 3))
+            lq, hq = pipeline(hq, sf=magnification_factor, lq_patchsize=model_input_size, rng=job_seed)
+            # uint8 quantize round-trip, like the reference's
+            # single2uint -> ToTensor (utils.py:213-218)
+            return uint2single(single2uint(lq)), uint2single(single2uint(hq))
+
+        if num_workers > 0:
+            # the eager whole-dataset degradation (reference behavior) is the
+            # startup bottleneck; cv2/scipy release the GIL so threads scale
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=num_workers) as pool:
+                pairs = list(pool.map(degrade, jobs))
+        else:
+            pairs = [degrade(j) for j in jobs]
+
+        rng = _Rng(seed)
+        order = rng.sample(range(len(pairs)), len(pairs))
+        self.lr_images = [pairs[i][0] for i in order]
+        self.hr_images = [pairs[i][1] for i in order]
         if destination_folder is not None:
             self._save(destination_folder)
 

@@ -158,3 +158,35 @@ def test_generation_cli_with_video_and_preview_grid(workdir):
     assert os.path.exists(os.path.join(results, "video_denoising.mp4"))
     assert os.path.exists(os.path.join(results, "generation_0_epoch.png"))
     assert os.path.exists(os.path.join(results, "generation_results.png"))
+
+
+def test_aggregation_cli_multichip_and_ddim(workdir):
+    """--multiple_gpus shards the patch batch over the virtual 8-device mesh;
+    --ddim_steps switches to the accelerated sampler."""
+    _mk_images(os.path.join(workdir, "data", "train_original"), n=4, size=32)
+    _mk_images(os.path.join(workdir, "data", "val_original"), n=4, size=32)
+    _run(
+        "train_diffusion_superres.py",
+        [
+            "--epochs", "1", "--batch_size", "4", "--image_size", "32",
+            "--noise_steps", "6", "--model_name", "smoke_agg8",
+            "--dataset_path", "data", "--magnification_factor", "2",
+            "--loss", "MSE", "--Blur_radius", "0.5", "--check_preds_epoch", "3",
+        ],
+        workdir,
+    )
+    _mk_images(os.path.join(workdir, "lr"), n=1, size=32)
+    env_extra = {"XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    cmd = [sys.executable, os.path.join(REPO, "Aggregation_Sampling.py"),
+           "--model_name", "smoke_agg8", "--magnification_factor", "2",
+           "--noise_steps", "6", "--patch_size", "16", "--stride", "8",
+           "--model_input_size", "32", "--UNet_type", "Residual Attention UNet",
+           "--Degradation_type", "DownBlur", "--device", "cpu",
+           "--img_lr_path", os.path.join("lr", "img_0.png"),
+           "--destination_path", "sr_out8.png",
+           "--multiple_gpus", "true", "--ddim_steps", "4", "--batch_size", "1"]
+    env = _env(); env.update(env_extra)
+    res = subprocess.run(cmd, cwd=workdir, env=env, capture_output=True, text=True, timeout=1200)
+    assert res.returncode == 0, f"STDOUT:\n{res.stdout}\nSTDERR:\n{res.stderr}"
+    out = Image.open(os.path.join(workdir, "sr_out8.png"))
+    assert out.size == (64, 64)

@@ -192,3 +192,14 @@ def test_loader_num_workers_same_batches():
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x["x"], y["x"])
+
+
+def test_bsrgan_dataset_parallel_build_matches_serial(img_dir):
+    a = SuperresBSRGANDataset(img_dir, 2, 16, num_crops=2, seed=5)
+    b = SuperresBSRGANDataset(img_dir, 2, 16, num_crops=2, seed=5, num_workers=4)
+    assert len(a) == len(b) == 12
+    for i in range(12):
+        np.testing.assert_array_equal(a[i]["cond"], b[i]["cond"])
+        np.testing.assert_array_equal(a[i]["x"], b[i]["x"])
+    # different crops of the same file must differ (per-job seeds)
+    assert not np.array_equal(a[0]["cond"], a[1]["cond"]) or not np.array_equal(a[0]["x"], a[1]["x"])
