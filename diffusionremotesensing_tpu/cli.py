@@ -178,18 +178,21 @@ def launch_superres(args) -> None:
             train_path, args.magnification_factor, args.image_size,
             num_crops=args.num_crops, degradation_type="BSR_plus",
             destination_folder=os.path.join(args.dataset_path + "_Dataset", "train"),
+            num_workers=getattr(args, "num_workers", 0),
         )
         val_ds = SuperresBSRGANDataset(
             valid_path, args.magnification_factor, args.image_size,
             num_crops=args.num_crops, degradation_type="BSR_plus",
             destination_folder=os.path.join(args.dataset_path + "_Dataset", "val"),
+            num_workers=getattr(args, "num_workers", 0),
         )
     else:
         raise ValueError("The degradation type must be either BSRGAN or DownBlur or DownBlurNoise")
 
     n_dev = mesh.devices.size if mesh is not None else 1
-    train_loader = DataLoader(train_ds, args.batch_size, shuffle=True, pad_to_multiple=n_dev if n_dev > 1 else None)
-    val_loader = DataLoader(val_ds, args.batch_size, shuffle=True, pad_to_multiple=n_dev if n_dev > 1 else None)
+    nw = getattr(args, "num_workers", 0)
+    train_loader = DataLoader(train_ds, args.batch_size, shuffle=True, pad_to_multiple=n_dev if n_dev > 1 else None, num_workers=nw)
+    val_loader = DataLoader(val_ds, args.batch_size, shuffle=True, pad_to_multiple=n_dev if n_dev > 1 else None, num_workers=nw)
 
     model = residual_attention_unet_superres(
         image_channels=args.inp_out_channels,
@@ -220,15 +223,18 @@ def launch_superres(args) -> None:
             os.path.join(results_dir, f"superres_{epoch}_epoch.png"),
         )
 
-    state = trainer.train(
-        state,
-        epochs=args.epochs,
-        train_loader=train_loader,
-        val_loader=val_loader,
-        check_preds_epoch=args.check_preds_epoch,
-        patience=args.patience,
-        on_preview=on_preview,
-    )
+    from diffusionremotesensing_tpu.profiling import trace
+
+    with trace(getattr(args, "profile_dir", None)):
+        state = trainer.train(
+            state,
+            epochs=args.epochs,
+            train_loader=train_loader,
+            val_loader=val_loader,
+            check_preds_epoch=args.check_preds_epoch,
+            patience=args.patience,
+            on_preview=on_preview,
+        )
 
     # final sampling figure from the train set (reference :679-693)
     items = [train_ds[i] for i in range(min(5, len(train_ds)))]
@@ -279,8 +285,9 @@ def launch_sar_to_ndvi(args) -> None:
     train_ds = SarToNdviDataset(os.path.join(args.dataset_path, "train"))
     val_ds = SarToNdviDataset(os.path.join(args.dataset_path, "valid"))
     n_dev = mesh.devices.size if mesh is not None else 1
-    train_loader = DataLoader(train_ds, args.batch_size, shuffle=True, pad_to_multiple=n_dev if n_dev > 1 else None)
-    val_loader = DataLoader(val_ds, args.batch_size, shuffle=True, pad_to_multiple=n_dev if n_dev > 1 else None)
+    nw = getattr(args, "num_workers", 0)
+    train_loader = DataLoader(train_ds, args.batch_size, shuffle=True, pad_to_multiple=n_dev if n_dev > 1 else None, num_workers=nw)
+    val_loader = DataLoader(val_ds, args.batch_size, shuffle=True, pad_to_multiple=n_dev if n_dev > 1 else None, num_workers=nw)
 
     model = residual_attention_unet_sar_to_ndvi(
         sar_channels=args.SAR_channels, ndvi_channels=args.NDVI_channels,
@@ -304,15 +311,18 @@ def launch_sar_to_ndvi(args) -> None:
             os.path.join(results_dir, f"SAR_TO_NDVI_{epoch}_epoch.png"),
         )
 
-    state = trainer.train(
-        state,
-        epochs=args.epochs,
-        train_loader=train_loader,
-        val_loader=val_loader,
-        check_preds_epoch=args.check_preds_epoch,
-        patience=args.patience,
-        on_preview=on_preview,
-    )
+    from diffusionremotesensing_tpu.profiling import trace
+
+    with trace(getattr(args, "profile_dir", None)):
+        state = trainer.train(
+            state,
+            epochs=args.epochs,
+            train_loader=train_loader,
+            val_loader=val_loader,
+            check_preds_epoch=args.check_preds_epoch,
+            patience=args.patience,
+            on_preview=on_preview,
+        )
 
     # final sampling figure from the train set (reference :620-636)
     items = [train_ds[i] for i in range(min(5, len(train_ds)))]
@@ -373,7 +383,11 @@ def launch_generation(args) -> None:
         train_ds = ImageFolderDataset(os.path.join("..", args.dataset_path), args.image_size)
     num_classes = train_ds.num_classes
     n_dev = mesh.devices.size if mesh is not None else 1
-    train_loader = DataLoader(train_ds, args.batch_size, shuffle=True, pad_to_multiple=n_dev if n_dev > 1 else None)
+    train_loader = DataLoader(
+        train_ds, args.batch_size, shuffle=True,
+        pad_to_multiple=n_dev if n_dev > 1 else None,
+        num_workers=getattr(args, "num_workers", 0),
+    )
 
     model = residual_attention_unet_generation(
         image_channels=args.inp_out_channels,
@@ -400,15 +414,18 @@ def launch_generation(args) -> None:
             os.path.join(results_dir, f"generation_{epoch}_epoch.png"),
         )
 
-    state = trainer.train(
-        state,
-        epochs=args.epochs,
-        train_loader=train_loader,
-        val_loader=None,
-        check_preds_epoch=args.check_preds_epoch,
-        patience=args.patience,
-        on_preview=on_preview,
-    )
+    from diffusionremotesensing_tpu.profiling import trace
+
+    with trace(getattr(args, "profile_dir", None)):
+        state = trainer.train(
+            state,
+            epochs=args.epochs,
+            train_loader=train_loader,
+            val_loader=None,
+            check_preds_epoch=args.check_preds_epoch,
+            patience=args.patience,
+            on_preview=on_preview,
+        )
 
     # final per-class grid (reference :630-638)
     labels = np.arange(num_classes, dtype=np.int32)

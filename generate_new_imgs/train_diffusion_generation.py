@@ -34,6 +34,10 @@ if __name__ == "__main__":
     # framework addition: bfloat16 compute for training (params stay float32)
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--num_workers", type=int, default=0,
+                        help="data-loading threads (0 = synchronous)")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler trace of training into this dir")
     args = parser.parse_args()
     args.snapshot_folder_path = os.path.join("..", "models_run", args.model_name, "weights")
     launch_generation(args)
