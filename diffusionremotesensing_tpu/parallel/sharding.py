@@ -54,6 +54,17 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def spatial_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the image HEIGHT axis of NHWC tensors across the mesh — spatial
+    partitioning of a single large image (the sequence-parallel analog for
+    conv UNets; SURVEY.md §5 'long-context' row). XLA SPMD inserts the conv
+    halo exchanges automatically; verified bit-equivalent to unsharded
+    sampling in tests/test_sharding.py. Use when one image is too large (or
+    too latency-sensitive) for one chip and patch-parallel aggregation is not
+    wanted. H must be divisible by 8 * mesh size (the UNet downsamples /8)."""
+    return NamedSharding(mesh, P(None, axis_name))
+
+
 def shard_batch(batch, mesh: Optional[Mesh], axis_name: str = "data"):
     """Place a pytree of host arrays onto the mesh, sharded along axis 0.
 

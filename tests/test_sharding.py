@@ -125,3 +125,30 @@ def test_sampler_sharded_over_batch():
     v8 = jax.device_put(variables, rs)
     out8 = np.asarray(sampler(v8, key, jax.device_put(x_T, bs), jax.device_put(cond, bs)))
     np.testing.assert_allclose(out1, out8, rtol=1e-4, atol=1e-5)
+
+
+def test_spatially_sharded_single_image_sampling():
+    """One image's H axis sharded across all 8 devices (XLA inserts the conv
+    halo exchanges) must reproduce unsharded sampling exactly."""
+    from diffusionremotesensing_tpu.diffusion import make_process
+    from diffusionremotesensing_tpu.parallel.sharding import (
+        replicated_sharding,
+        spatial_sharding,
+    )
+
+    model = residual_attention_unet_superres(magnification_factor=2)
+    v = init_unet_params(model, jax.random.PRNGKey(0), image_size=64)
+    proc = make_process(model, "linear", 6, 64)
+    s = proc.sampler()
+    key = jax.random.PRNGKey(1)
+    x_T = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 64, 3))
+    cond = jax.random.uniform(jax.random.PRNGKey(3), (1, 32, 32, 3))
+    ref = np.asarray(s(v, key, x_T, cond))
+
+    mesh = make_mesh()
+    sp = spatial_sharding(mesh)
+    rep = replicated_sharding(mesh)
+    out = np.asarray(
+        s(jax.device_put(v, rep), key, jax.device_put(x_T, sp), jax.device_put(cond, sp))
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-4)
