@@ -117,6 +117,22 @@ def _build_trainer(model, args, image_size, label_dropout=0.0, mesh=None):
     )
 
 
+
+def _export_denoising_video(frames, results_dir: str) -> None:
+    """Write the captured denoising trajectory of the first sample as
+    video_denoising.mp4 (reference video export, fps 100); main process only."""
+    from diffusionremotesensing_tpu.parallel.sharding import is_main_process
+    from diffusionremotesensing_tpu.utils import video_maker
+
+    if not is_main_process():
+        return
+    video_maker(
+        [np.asarray(f[0]) for f in np.asarray(frames)],
+        os.path.join(results_dir, "video_denoising.mp4"),
+        fps=100,
+    )
+
+
 def _results_dir(model_name: str, snapshot_folder_path: Optional[str] = None) -> str:
     """models_run/<name>/results next to the weights folder — the generation
     script runs from generate_new_imgs/ and uses ../models_run (reference
@@ -241,13 +257,7 @@ def launch_superres(args) -> None:
     conds = np.stack([it["cond"] for it in items])
     if args.generate_video:
         sr, frames = trainer.sample(state, n=len(items), cond=conds, capture_frames=True)
-        from diffusionremotesensing_tpu.utils import video_maker
-
-        video_maker(
-            [np.asarray(f[0]) for f in np.asarray(frames)],
-            os.path.join(results_dir, "video_denoising.mp4"),
-            fps=100,
-        )
+        _export_denoising_video(frames, results_dir)
         sr = np.asarray(sr)
     else:
         sr = np.asarray(trainer.sample(state, n=len(items), cond=conds))
@@ -330,14 +340,7 @@ def launch_sar_to_ndvi(args) -> None:
     if args.generate_video:
         pred, frames = trainer.sample(state, n=len(items), cond=conds, capture_frames=True)
         pred = np.asarray(pred)
-        if is_main_process():
-            from diffusionremotesensing_tpu.utils import video_maker
-
-            video_maker(
-                [np.asarray(f[0]) for f in np.asarray(frames)],
-                os.path.join(results_dir, "video_denoising.mp4"),
-                fps=100,
-            )
+        _export_denoising_video(frames, results_dir)
     else:
         pred = np.asarray(trainer.sample(state, n=len(items), cond=conds))
     if is_main_process():
@@ -434,14 +437,7 @@ def launch_generation(args) -> None:
             state, n=num_classes, cond=labels, cfg_scale=3.0, capture_frames=True
         )
         imgs = np.asarray(imgs)
-        if is_main_process():
-            from diffusionremotesensing_tpu.utils import video_maker
-
-            video_maker(
-                [np.asarray(f[0]) for f in np.asarray(frames)],
-                os.path.join(results_dir, "video_denoising.mp4"),
-                fps=100,
-            )
+        _export_denoising_video(frames, results_dir)
     else:
         imgs = np.asarray(trainer.sample(state, n=num_classes, cond=labels, cfg_scale=3.0))
     if not is_main_process():

@@ -129,16 +129,24 @@ class SuperresBSRGANDataset:
         else:
             raise ValueError("degradation_type must be 'BSR_plus' or 'soft_BSR_plus'")
         filenames = sorted(os.listdir(root_dir))
+        # decode each source image ONCE (the reference re-reads per crop,
+        # utils.py:204-206); the pipelines copy their input before mutating
+        decoded = {
+            name: uint2single(imread_uint(os.path.join(root_dir, name), 3))
+            for name in filenames
+        }
         jobs = [
-            (os.path.join(root_dir, name), seed + 7919 * (j * num_crops + c + 1))
+            (name, seed + 7919 * (j * num_crops + c + 1))
             for j, name in enumerate(filenames)
             for c in range(num_crops)
         ]
 
         def degrade(job):
-            path, job_seed = job
-            hq = uint2single(imread_uint(path, 3))
-            lq, hq = pipeline(hq, sf=magnification_factor, lq_patchsize=model_input_size, rng=job_seed)
+            name, job_seed = job
+            lq, hq = pipeline(
+                decoded[name], sf=magnification_factor,
+                lq_patchsize=model_input_size, rng=job_seed,
+            )
             # uint8 quantize round-trip, like the reference's
             # single2uint -> ToTensor (utils.py:213-218)
             return uint2single(single2uint(lq)), uint2single(single2uint(hq))

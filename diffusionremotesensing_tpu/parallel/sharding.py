@@ -58,8 +58,9 @@ def spatial_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard the image HEIGHT axis of NHWC tensors across the mesh — spatial
     partitioning of a single large image (the sequence-parallel analog for
     conv UNets; SURVEY.md §5 'long-context' row). XLA SPMD inserts the conv
-    halo exchanges automatically; verified bit-equivalent to unsharded
-    sampling in tests/test_sharding.py. Use when one image is too large (or
+    halo exchanges automatically; verified equivalent to unsharded sampling
+    within fp reduction-order tolerance (atol 1e-4; measured 2.4e-7) in
+    tests/test_sharding.py. Use when one image is too large (or
     too latency-sensitive) for one chip and patch-parallel aggregation is not
     wanted. H must be divisible by 8 * mesh size (the UNet downsamples /8)."""
     return NamedSharding(mesh, P(None, axis_name))

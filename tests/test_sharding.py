@@ -129,7 +129,8 @@ def test_sampler_sharded_over_batch():
 
 def test_spatially_sharded_single_image_sampling():
     """One image's H axis sharded across all 8 devices (XLA inserts the conv
-    halo exchanges) must reproduce unsharded sampling exactly."""
+    halo exchanges) must match unsharded sampling within fp reduction-order
+    tolerance."""
     from diffusionremotesensing_tpu.diffusion import make_process
     from diffusionremotesensing_tpu.parallel.sharding import (
         replicated_sharding,
