@@ -205,6 +205,13 @@ def launch_superres(args) -> None:
     else:
         raise ValueError("The degradation type must be either BSRGAN or DownBlur or DownBlurNoise")
 
+    # In BSRGAN mode, image_size is the LQ patch size (the degradation's
+    # lq_patchsize, utils.py:211) so HR patches are image_size * mag — the
+    # engine must sample at HR. (The reference passes image_size straight to
+    # its Diffusion and its preview path would error on the size mismatch;
+    # conscious fix, documented in PARITY.md.)
+    hr_size = args.image_size * args.magnification_factor if deg == "bsrgan" else args.image_size
+
     n_dev = mesh.devices.size if mesh is not None else 1
     nw = getattr(args, "num_workers", 0)
     train_loader = DataLoader(train_ds, args.batch_size, shuffle=True, pad_to_multiple=n_dev if n_dev > 1 else None, num_workers=nw)
@@ -216,8 +223,8 @@ def launch_superres(args) -> None:
         magnification_factor=args.magnification_factor,
         dtype=_model_dtype(args),
     )
-    variables = create_variables(model, args.image_size)
-    trainer = _build_trainer(model, args, args.image_size, mesh=mesh)
+    variables = create_variables(model, hr_size)
+    trainer = _build_trainer(model, args, hr_size, mesh=mesh)
     state = trainer.maybe_resume(trainer.init_state(variables))
 
     from diffusionremotesensing_tpu.models.unet import param_count

@@ -190,3 +190,24 @@ def test_aggregation_cli_multichip_and_ddim(workdir):
     assert res.returncode == 0, f"STDOUT:\n{res.stdout}\nSTDERR:\n{res.stderr}"
     out = Image.open(os.path.join(workdir, "sr_out8.png"))
     assert out.size == (64, 64)
+
+
+def test_train_superres_bsrgan_cli(workdir):
+    """--Degradation_type BSRGAN: eager degradation build + PNG pair dump."""
+    _mk_images(os.path.join(workdir, "data", "train_original"), n=2, size=80)
+    _mk_images(os.path.join(workdir, "data", "val_original"), n=2, size=80)
+    _run(
+        "train_diffusion_superres.py",
+        [
+            "--epochs", "1", "--batch_size", "2", "--image_size", "16",
+            "--noise_steps", "6", "--model_name", "smoke_bsrgan",
+            "--dataset_path", "data", "--magnification_factor", "2",
+            "--loss", "MSE", "--Degradation_type", "BSRGAN", "--num_crops", "2",
+            "--check_preds_epoch", "3", "--num_workers", "2",
+        ],
+        workdir,
+    )
+    assert os.path.exists(os.path.join(workdir, "models_run", "smoke_bsrgan", "weights", "snapshot.pt"))
+    # the eager dataset dumps its degraded pairs like the reference
+    assert len(os.listdir(os.path.join(workdir, "data_Dataset", "train", "lr"))) == 4
+    assert len(os.listdir(os.path.join(workdir, "data_Dataset", "train", "hr"))) == 4
