@@ -148,25 +148,42 @@ class AggregationSampler:
             sampler = self.process.sampler()
         chunk = self._chunk()
         n = patches.shape[0]
-        pad = (-n) % chunk
-        if pad:
-            # wrap-around: pad may exceed n (one patch padded to a chunk of 16)
-            patches = np.concatenate([patches, patches[np.arange(pad) % n]], axis=0)
         hr = self.patch_size * self.mag
         if self.mesh is not None:
             # params/stats must be replicated across the mesh the batch spans
             variables = jax.device_put(variables, replicated_sharding(self.mesh))
+            bs = batch_sharding(self.mesh)
+
+        # Chunk layout: full chunks of `chunk`, plus one remainder chunk
+        # padded only to a multiple of n_devices (a second compiled shape)
+        # rather than wrap-padding to a full chunk — a 1-patch remainder used
+        # to pay for chunk-1 ghost patches at full T.
+        starts = list(range(0, (n // chunk) * chunk, chunk))
+        sizes = [chunk] * len(starts)
+        rem = n % chunk
+        if rem:
+            starts.append((n // chunk) * chunk)
+            sizes.append(-(-rem // self.n_devices) * self.n_devices)
+
+        # Async pipeline: dispatch every chunk without blocking (JAX enqueues
+        # the jitted scans back-to-back on the device stream) and gather to
+        # host only at the end — the old per-chunk block_until_ready strictly
+        # alternated host and device work.
         outs = []
-        for start in range(0, patches.shape[0], chunk):
+        for start, size in zip(starts, sizes):
             key, k_init, k_samp = jax.random.split(key, 3)
-            cond = jnp.asarray(patches[start : start + chunk])
-            x_T = jax.random.normal(k_init, (chunk, hr, hr, patches.shape[-1]))
+            block = patches[start : min(start + size, n)]
+            if block.shape[0] < size:  # wrap-around pad within the remainder
+                block = np.concatenate(
+                    [block, patches[np.arange(size - block.shape[0]) % n]], axis=0
+                )
+            cond = jnp.asarray(block)
+            x_T = jax.random.normal(k_init, (size, hr, hr, patches.shape[-1]))
             if self.mesh is not None:
-                bs = batch_sharding(self.mesh)
                 cond = jax.device_put(cond, bs)
                 x_T = jax.device_put(x_T, bs)
-            outs.append(np.asarray(jax.block_until_ready(sampler(variables, k_samp, x_T, cond))))
-        out = np.concatenate(outs, axis=0)
+            outs.append(sampler(variables, k_samp, x_T, cond))
+        out = np.concatenate([np.asarray(o) for o in outs], axis=0)
         return out[:n]
 
     def __call__(self, variables, img_lr: np.ndarray, key: Optional[jax.Array] = None) -> np.ndarray:
