@@ -91,12 +91,39 @@ def _model_dtype(args):
     return None
 
 
+
+def _process_shard():
+    """Per-process dataset sharding (DistributedSampler parity, reference
+    train_diffusion_superres.py:631-635): when training spans multiple JAX
+    processes, each host must load a disjoint shard of the dataset — building
+    identical global batches on every process would silently train on
+    duplicated data. Single-process runs get the identity shard (1, 0)."""
+    import jax
+
+    return jax.process_count(), jax.process_index()
+
 def _make_mesh_if(multiple: bool):
     if not multiple:
         return None
     from diffusionremotesensing_tpu.parallel.sharding import make_mesh
 
     return make_mesh()
+
+
+def _load_vgg_variables(args):
+    """--vgg19_weights: a torch-saved ``vgg19.features`` state_dict (the
+    torchvision pretrained weights, fetched on a machine with egress)."""
+    path = getattr(args, "vgg19_weights", None)
+    if not path:
+        return None
+    import torch
+
+    from diffusionremotesensing_tpu.losses import load_vgg19_params
+
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(state, "state_dict"):
+        state = state.state_dict()
+    return load_vgg19_params(state)
 
 
 def _build_trainer(model, args, image_size, label_dropout=0.0, mesh=None):
@@ -114,6 +141,8 @@ def _build_trainer(model, args, image_size, label_dropout=0.0, mesh=None):
         ema_smoothing=args.ema_smoothing,
         label_dropout=label_dropout,
         mesh=mesh,
+        vgg_variables=_load_vgg_variables(args),
+        allow_random_vgg=getattr(args, "allow_random_vgg", False),
     )
 
 
@@ -214,8 +243,9 @@ def launch_superres(args) -> None:
 
     n_dev = mesh.devices.size if mesh is not None else 1
     nw = getattr(args, "num_workers", 0)
-    train_loader = DataLoader(train_ds, args.batch_size, shuffle=True, pad_to_multiple=n_dev if n_dev > 1 else None, num_workers=nw)
-    val_loader = DataLoader(val_ds, args.batch_size, shuffle=True, pad_to_multiple=n_dev if n_dev > 1 else None, num_workers=nw)
+    n_shards, shard_idx = _process_shard()
+    train_loader = DataLoader(train_ds, args.batch_size, shuffle=True, pad_to_multiple=n_dev if n_dev > 1 else None, num_workers=nw, num_shards=n_shards, shard_index=shard_idx)
+    val_loader = DataLoader(val_ds, args.batch_size, shuffle=True, pad_to_multiple=n_dev if n_dev > 1 else None, num_workers=nw, num_shards=n_shards, shard_index=shard_idx)
 
     model = residual_attention_unet_superres(
         image_channels=args.inp_out_channels,
@@ -303,8 +333,9 @@ def launch_sar_to_ndvi(args) -> None:
     val_ds = SarToNdviDataset(os.path.join(args.dataset_path, "valid"))
     n_dev = mesh.devices.size if mesh is not None else 1
     nw = getattr(args, "num_workers", 0)
-    train_loader = DataLoader(train_ds, args.batch_size, shuffle=True, pad_to_multiple=n_dev if n_dev > 1 else None, num_workers=nw)
-    val_loader = DataLoader(val_ds, args.batch_size, shuffle=True, pad_to_multiple=n_dev if n_dev > 1 else None, num_workers=nw)
+    n_shards, shard_idx = _process_shard()
+    train_loader = DataLoader(train_ds, args.batch_size, shuffle=True, pad_to_multiple=n_dev if n_dev > 1 else None, num_workers=nw, num_shards=n_shards, shard_index=shard_idx)
+    val_loader = DataLoader(val_ds, args.batch_size, shuffle=True, pad_to_multiple=n_dev if n_dev > 1 else None, num_workers=nw, num_shards=n_shards, shard_index=shard_idx)
 
     model = residual_attention_unet_sar_to_ndvi(
         sar_channels=args.SAR_channels, ndvi_channels=args.NDVI_channels,
@@ -393,10 +424,12 @@ def launch_generation(args) -> None:
         train_ds = ImageFolderDataset(os.path.join("..", args.dataset_path), args.image_size)
     num_classes = train_ds.num_classes
     n_dev = mesh.devices.size if mesh is not None else 1
+    n_shards, shard_idx = _process_shard()
     train_loader = DataLoader(
         train_ds, args.batch_size, shuffle=True,
         pad_to_multiple=n_dev if n_dev > 1 else None,
         num_workers=getattr(args, "num_workers", 0),
+        num_shards=n_shards, shard_index=shard_idx,
     )
 
     model = residual_attention_unet_generation(

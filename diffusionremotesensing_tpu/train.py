@@ -79,6 +79,7 @@ class Trainer:
         seed: int = 0,
         metrics_path: Optional[str] = None,
         vgg_variables=None,
+        allow_random_vgg: bool = False,
     ):
         self.model = model
         self.image_size = image_size
@@ -97,12 +98,24 @@ class Trainer:
         )
         self.schedule = self.process.schedule
         if loss == "MSE+Perceptual_noise" and vgg_variables is None:
+            # The reference's perceptual term uses torchvision's *pretrained*
+            # VGG19 (train_diffusion_superres.py:25-63); without those weights
+            # the semantics cannot be reproduced, so silently training against
+            # random features is a hard error unless explicitly opted into.
+            if not allow_random_vgg:
+                raise ValueError(
+                    "MSE+Perceptual_noise requires pretrained VGG19 weights "
+                    "(pass vgg_variables=losses.load_vgg19_params(<torch vgg19."
+                    "features state_dict>), e.g. via --vgg19_weights <path>). "
+                    "To knowingly train against a fixed randomly-initialized "
+                    "VGG19 instead (a random-projection perceptual loss, NOT "
+                    "the reference semantics), pass allow_random_vgg=True "
+                    "(--allow_random_vgg on the CLI)."
+                )
             print(
-                "WARNING: MSE+Perceptual_noise selected without pretrained VGG19 "
-                "weights — using a fixed randomly-initialized VGG19 (random-"
-                "projection perceptual loss). Pass vgg_variables="
-                "losses.load_vgg19_params(<torch vgg19 state_dict>) for the "
-                "reference's pretrained-feature loss."
+                "WARNING: MSE+Perceptual_noise with --allow_random_vgg — using "
+                "a fixed randomly-initialized VGG19 (random-projection "
+                "perceptual loss), NOT the reference's pretrained features."
             )
         self.loss_fn = make_loss_fn(loss, vgg_variables=vgg_variables)
         self.optimizer = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)

@@ -41,6 +41,10 @@ if __name__ == "__main__":
                         help="data-loading threads (0 = synchronous)")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace of training into this dir")
+    parser.add_argument("--vgg19_weights", type=str, default=None,
+                        help="torch state_dict of torchvision vgg19.features (pretrained weights for MSE+Perceptual_noise)")
+    parser.add_argument("--allow_random_vgg", type=str2bool, nargs="?", const=True, default=False,
+                        help="allow MSE+Perceptual_noise with a fixed random VGG19 (NOT the reference's pretrained-feature semantics)")
     args = parser.parse_args()
     args.snapshot_folder_path = os.path.join(os.curdir, "models_run", args.model_name, "weights")
     launch_superres(args)
