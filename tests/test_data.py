@@ -69,6 +69,37 @@ def test_loader_sharding_partitions():
     assert sorted(seen) == list(map(float, range(16)))
 
 
+def test_loader_sharding_shuffled_disjoint_and_epoch_reshuffle():
+    """DistributedSampler parity: shards partition each shuffled epoch
+    disjointly, and set_epoch reshuffles shard membership consistently."""
+    ds = [{"x": np.full((1,), float(i), np.float32)} for i in range(17)]
+
+    def collect(shard, epoch):
+        loader = DataLoader(ds, batch_size=4, shuffle=True, seed=7,
+                            num_shards=2, shard_index=shard)
+        loader.set_epoch(epoch)
+        out = []
+        for b in loader:
+            out.extend(b["x"].ravel().tolist())
+        return out
+
+    a0, b0 = collect(0, 0), collect(1, 0)
+    assert not set(a0) & set(b0)  # disjoint
+    assert sorted(a0 + b0) == list(map(float, range(17)))  # complete
+    a1, b1 = collect(0, 1), collect(1, 1)
+    assert a1 != a0  # epoch reseeds the permutation
+    assert sorted(a1 + b1) == list(map(float, range(17)))  # still a partition
+    assert set(a1) != set(a0)  # membership actually moved between shards
+
+
+def test_cli_process_shard_single_process():
+    """cli.py wires num_shards/shard_index from the JAX process topology;
+    in a single-process run that must be the identity shard."""
+    from diffusionremotesensing_tpu.cli import _process_shard
+
+    assert _process_shard() == (1, 0)
+
+
 def test_loader_pad_to_multiple():
     ds = [{"x": np.zeros((2, 2, 1), np.float32)} for _ in range(5)]
     loader = DataLoader(ds, batch_size=8, pad_to_multiple=8)
