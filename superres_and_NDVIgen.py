@@ -70,6 +70,7 @@ def super_resolver(lr_img: np.ndarray, device=None, model_name: str = "", key=No
     model = residual_attention_unet_superres(
         image_channels=input_channels, out_dim=input_channels,
         magnification_factor=magnification_factor,
+        s2d=True,  # s2d inference execution: exact math (tests/test_s2d_model.py), ~1.6x faster
     )
     variables = _load_variables(model_name, device)
     proc = make_process(model, "cosine", 1500, image_size)
@@ -104,7 +105,7 @@ def SAR_to_NDVI_generator(SAR_img_path: str, device=None, n_generations: int = 1
         raise ValueError("SAR image values are not in the range [-1, 1]")
 
     model = residual_attention_unet_sar_to_ndvi(
-        sar_channels=SAR_channels, ndvi_channels=NDVI_channels
+        sar_channels=SAR_channels, ndvi_channels=NDVI_channels, s2d=True
     )
     variables = _load_variables(model_name, device)
     proc = make_process(model, "cosine", 1500, image_size)
