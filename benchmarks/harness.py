@@ -32,7 +32,7 @@ LR_SIZE, MAG, T, BATCH = 64, 2, 200, 16
 HR_SIZE = LR_SIZE * MAG
 
 
-def _tpu_setup(dtype_name: str, use_pallas: bool):
+def _tpu_setup(dtype_name: str, use_pallas: bool, s2d: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -44,7 +44,7 @@ def _tpu_setup(dtype_name: str, use_pallas: bool):
 
     dtype = {"f32": None, "bf16": jnp.bfloat16}[dtype_name]
     model = residual_attention_unet_superres(
-        magnification_factor=MAG, dtype=dtype, use_pallas=use_pallas
+        magnification_factor=MAG, dtype=dtype, use_pallas=use_pallas, s2d=s2d
     )
     try:
         cpu = jax.devices("cpu")[0]
@@ -63,10 +63,10 @@ def _tpu_setup(dtype_name: str, use_pallas: bool):
     return model, variables, proc, dev
 
 
-def bench_denoise(dtype_name: str = "bf16", use_pallas: bool = False, reps: int = 3):
+def bench_denoise(dtype_name: str = "bf16", use_pallas: bool = False, reps: int = 3, s2d: bool = True):
     import jax
 
-    _, variables, proc, dev = _tpu_setup(dtype_name, use_pallas)
+    _, variables, proc, dev = _tpu_setup(dtype_name, use_pallas, s2d=s2d)
     sampler = proc.sampler()
     key = jax.random.PRNGKey(1)
     x_T = jax.device_put(jax.random.normal(jax.random.PRNGKey(2), (BATCH, HR_SIZE, HR_SIZE, 3)), dev)
@@ -82,7 +82,8 @@ def bench_denoise(dtype_name: str = "bf16", use_pallas: bool = False, reps: int 
         "images_per_sec": BATCH / dt,
         "seconds_per_sample_batch": dt,
         "config": f"HR{HR_SIZE} x{MAG} T{T} B{BATCH} {dtype_name}"
-        + (" pallas" if use_pallas else ""),
+        + (" pallas" if use_pallas else "")
+        + (" s2d" if s2d else ""),
     }
 
 
@@ -213,11 +214,24 @@ def bench_quality():
             train=False,
         )
     )
+    # the s2d fast-inference path must hold the same parity vs torch
+    fm_s2d = residual_attention_unet_superres(magnification_factor=MAG, s2d=True)
+    got_s2d = np.asarray(
+        fm_s2d.apply(
+            variables,
+            jnp.asarray(x.transpose(0, 2, 3, 1)),
+            jnp.asarray(t),
+            jnp.asarray(lr.transpose(0, 2, 3, 1)),
+            train=False,
+        )
+    )
     rng_ = float(ref.max() - ref.min())
     return {
         "forward_psnr_db_vs_torch": psnr(got, ref, data_range=rng_),
         "forward_ssim_vs_torch": ssim(got, ref, data_range=rng_),
         "max_abs_err": float(np.abs(got - ref).max()),
+        "s2d_forward_psnr_db_vs_torch": psnr(got_s2d, ref, data_range=rng_),
+        "s2d_max_abs_err": float(np.abs(got_s2d - ref).max()),
     }
 
 
