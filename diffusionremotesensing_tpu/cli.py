@@ -126,7 +126,8 @@ def _load_vgg_variables(args):
     return load_vgg19_params(state)
 
 
-def _build_trainer(model, args, image_size, label_dropout=0.0, mesh=None):
+def _build_trainer(model, args, image_size, label_dropout=0.0, mesh=None,
+                   batch_transform=None):
     from diffusionremotesensing_tpu.train import Trainer
 
     snapshot_path = os.path.join(args.snapshot_folder_path, args.snapshot_name)
@@ -143,6 +144,7 @@ def _build_trainer(model, args, image_size, label_dropout=0.0, mesh=None):
         mesh=mesh,
         vgg_variables=_load_vgg_variables(args),
         allow_random_vgg=getattr(args, "allow_random_vgg", False),
+        batch_transform=batch_transform,
     )
 
 
@@ -208,16 +210,43 @@ def launch_superres(args) -> None:
     deg = args.Degradation_type.lower()
     train_path = f"{args.dataset_path}/train_original"
     valid_path = f"{args.dataset_path}/val_original"
+    batch_transform = None
     if deg in ("downblur", "downblurnoise"):
         if args.image_size % args.magnification_factor != 0:
             raise ValueError("The image size must be a multiple of the magnification factor")
         noise = deg == "downblurnoise"
-        train_ds = SuperresDownBlurDataset(
-            train_path, args.magnification_factor, blur_radius, noise, "PIL", args.image_size
-        )
-        val_ds = SuperresDownBlurDataset(
-            valid_path, args.magnification_factor, blur_radius, noise, "PIL", args.image_size
-        )
+        if getattr(args, "device_degradation", False):
+            # host decodes only; bilinear/bicubic/blur run batched on the
+            # accelerator (data/device_degradation.py — the host pipeline is
+            # the training bottleneck on few-core hosts). Noise modes draw
+            # host RNG per item and stay on the reference path.
+            if noise:
+                raise ValueError(
+                    "--device_degradation supports Degradation_type DownBlur "
+                    "(DownBlurNoise draws per-item host RNG)"
+                )
+            from diffusionremotesensing_tpu.data.datasets import DecodeOnlyDataset
+            from diffusionremotesensing_tpu.data.device_degradation import (
+                make_downblur_transform,
+            )
+
+            if str(blur_radius).lower() == "random":
+                # same frozen draw as SuperresDownBlurDataset(seed=0)
+                from diffusionremotesensing_tpu.data.degradations import _Rng
+
+                blur_radius = _Rng(0).py.triangular(0.5, 1.5, 1)
+            train_ds = DecodeOnlyDataset(train_path, args.image_size)
+            val_ds = DecodeOnlyDataset(valid_path, args.image_size)
+            batch_transform = make_downblur_transform(
+                args.image_size, args.magnification_factor, float(blur_radius)
+            )
+        else:
+            train_ds = SuperresDownBlurDataset(
+                train_path, args.magnification_factor, blur_radius, noise, "PIL", args.image_size
+            )
+            val_ds = SuperresDownBlurDataset(
+                valid_path, args.magnification_factor, blur_radius, noise, "PIL", args.image_size
+            )
     elif deg == "bsrgan":
         train_ds = SuperresBSRGANDataset(
             train_path, args.magnification_factor, args.image_size,
@@ -254,17 +283,29 @@ def launch_superres(args) -> None:
         dtype=_model_dtype(args),
     )
     variables = create_variables(model, hr_size)
-    trainer = _build_trainer(model, args, hr_size, mesh=mesh)
+    trainer = _build_trainer(model, args, hr_size, mesh=mesh, batch_transform=batch_transform)
     state = trainer.maybe_resume(trainer.init_state(variables))
 
     from diffusionremotesensing_tpu.models.unet import param_count
 
     print("Num params: ", param_count(state.params))
 
+    def _xy_items(ds, n):
+        """First n (x, cond) pairs; in device-degradation mode the dataset
+        yields raw uint8 and the transform derives them on the accelerator."""
+        items = [ds[i] for i in range(min(n, len(ds)))]
+        if batch_transform is not None and "hr_u8" in items[0]:
+            out = batch_transform({"hr_u8": np.stack([it["hr_u8"] for it in items])})
+            return [
+                {"x": np.asarray(out["x"][i]), "cond": np.asarray(out["cond"][i])}
+                for i in range(len(items))
+            ]
+        return items
+
     def on_preview(st, epoch):
         # sampling runs on every process (global-mesh computation); only the
         # file write is rank-0
-        items = [val_ds[i] for i in range(min(5, len(val_ds)))]
+        items = _xy_items(val_ds, 5)
         conds = np.stack([it["cond"] for it in items])
         sr = np.asarray(trainer.sample(st, n=len(items), cond=conds))
         if not is_main_process():
@@ -290,7 +331,7 @@ def launch_superres(args) -> None:
         )
 
     # final sampling figure from the train set (reference :679-693)
-    items = [train_ds[i] for i in range(min(5, len(train_ds)))]
+    items = _xy_items(train_ds, 5)
     conds = np.stack([it["cond"] for it in items])
     if args.generate_video:
         sr, frames = trainer.sample(state, n=len(items), cond=conds, capture_frames=True)

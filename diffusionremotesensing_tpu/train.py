@@ -80,6 +80,7 @@ class Trainer:
         metrics_path: Optional[str] = None,
         vgg_variables=None,
         allow_random_vgg: bool = False,
+        batch_transform=None,
     ):
         self.model = model
         self.image_size = image_size
@@ -88,6 +89,11 @@ class Trainer:
         self.label_dropout = label_dropout
         self.loss_name = loss
         self.mesh = mesh
+        # Optional jitted device-side batch transform (on-device degradation:
+        # loader yields raw decoded uint8, the accelerator derives x/cond —
+        # see data/device_degradation.py). Applied after mesh placement so the
+        # transform runs sharded.
+        self.batch_transform = batch_transform
         self.epochs_run = 0
         self._rng = np.random.default_rng(seed)
         self._host_key = jax.random.PRNGKey(seed)
@@ -261,6 +267,8 @@ class Trainer:
             out["cond_mask"] = np.full((n,), 0.0 if drop else 1.0, np.float32)
         if self.mesh is not None:
             out = shard_batch(out, self.mesh)
+        if self.batch_transform is not None and "hr_u8" in out:
+            out = self.batch_transform(out)
         return out
 
     # ------------------------------------------------------------------ loop

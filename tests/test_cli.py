@@ -211,3 +211,22 @@ def test_train_superres_bsrgan_cli(workdir):
     # the eager dataset dumps its degraded pairs like the reference
     assert len(os.listdir(os.path.join(workdir, "data_Dataset", "train", "lr"))) == 4
     assert len(os.listdir(os.path.join(workdir, "data_Dataset", "train", "hr"))) == 4
+
+
+def test_train_superres_cli_device_degradation(workdir):
+    """--device_degradation: host decodes only, the accelerator derives
+    x/cond (data/device_degradation.py); full train -> snapshot flow."""
+    _mk_images(os.path.join(workdir, "data", "train_original"), n=6, size=32)
+    _mk_images(os.path.join(workdir, "data", "val_original"), n=6, size=32)
+    _run(
+        "train_diffusion_superres.py",
+        [
+            "--epochs", "2", "--batch_size", "4", "--image_size", "32",
+            "--noise_steps", "8", "--model_name", "smoke_dd",
+            "--dataset_path", "data", "--magnification_factor", "2",
+            "--loss", "MSE", "--Blur_radius", "0.5", "--check_preds_epoch", "1",
+            "--device_degradation", "true",
+        ],
+        workdir,
+    )
+    assert os.path.exists(os.path.join(workdir, "models_run", "smoke_dd", "weights", "snapshot.pt"))
