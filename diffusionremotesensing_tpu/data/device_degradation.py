@@ -9,10 +9,13 @@ bicubic downsample and Gaussian blur of the reference's get_data_superres
 pipeline (/root/reference/utils.py:93-166) run batched on the accelerator.
 
 Parity with PIL (pinned in tests/test_device_degradation.py):
-* resize (bilinear + bicubic): BIT-EXACT. Pillow's convolution resampling is
-  replicated including its fixed-point details — PRECISION_BITS = 22 weight
-  quantization with C truncate-toward-zero, horizontal-then-vertical passes,
-  uint8 clip8 rounding (floor(v + 0.5)) between passes.
+* resize (bilinear + bicubic): BIT-EXACT in exact arithmetic. Pillow's
+  convolution resampling is replicated including its fixed-point details —
+  PRECISION_BITS = 22 weight quantization with C truncate-toward-zero,
+  horizontal-then-vertical passes, uint8 clip8 rounding (floor(v + 0.5))
+  between passes. The on-device f32 execution can in principle flip a tie
+  when an accumulator lands exactly on k + 1/2 (~2^-22 of pixels); measured
+  0 differing pixels over 55k-pixel sweeps (and 0 in the CPU float64 tests).
 * GaussianBlur: Pillow applies 3 extended box filters (Gwosdek et al.,
   ssvm'11) whose fractional edge weight alpha matches the per-pass variance
   sigma^2/3 exactly. We convolve the three box kernels into ONE separable
