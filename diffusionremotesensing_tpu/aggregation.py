@@ -165,11 +165,16 @@ class AggregationSampler:
             starts.append((n // chunk) * chunk)
             sizes.append(-(-rem // self.n_devices) * self.n_devices)
 
-        # Async pipeline: dispatch every chunk without blocking (JAX enqueues
-        # the jitted scans back-to-back on the device stream) and gather to
-        # host only at the end — the old per-chunk block_until_ready strictly
-        # alternated host and device work.
-        outs = []
+        # Async pipeline: dispatch chunks without blocking (JAX enqueues the
+        # jitted scans back-to-back on the device stream) — the old
+        # per-chunk block_until_ready strictly alternated host and device
+        # work. In-flight dispatches are bounded by a sliding window so a
+        # huge tile (squarify allows up to 10000px ~ thousands of chunks)
+        # never holds every chunk's x_T/cond/output in HBM at once; gathering
+        # chunk k-W while k runs still overlaps host and device.
+        MAX_IN_FLIGHT = 4
+        outs: List[np.ndarray] = []
+        pending: List = []
         for start, size in zip(starts, sizes):
             key, k_init, k_samp = jax.random.split(key, 3)
             block = patches[start : min(start + size, n)]
@@ -182,8 +187,11 @@ class AggregationSampler:
             if self.mesh is not None:
                 cond = jax.device_put(cond, bs)
                 x_T = jax.device_put(x_T, bs)
-            outs.append(sampler(variables, k_samp, x_T, cond))
-        out = np.concatenate([np.asarray(o) for o in outs], axis=0)
+            pending.append(sampler(variables, k_samp, x_T, cond))
+            if len(pending) > MAX_IN_FLIGHT:
+                outs.append(np.asarray(pending.pop(0)))
+        outs.extend(np.asarray(o) for o in pending)
+        out = np.concatenate(outs, axis=0)
         return out[:n]
 
     def __call__(self, variables, img_lr: np.ndarray, key: Optional[jax.Array] = None) -> np.ndarray:

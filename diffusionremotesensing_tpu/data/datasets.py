@@ -55,6 +55,18 @@ def _load_any(path: str, data_format: str) -> Image.Image:
     raise ValueError(f"unknown data_format {data_format!r}")
 
 
+def _decode_rgb(path: str, data_format: str, image_size=None):
+    """Shared decode prologue: load, normalize mode, optional reference
+    bilinear resize to image_size (utils.py:141-148). Both the host DownBlur
+    dataset and DecodeOnlyDataset go through this, so the device-degradation
+    parity cannot drift."""
+    y = _load_any(path, data_format)
+    y = y.convert("RGB") if y.mode not in ("RGB", "L") else y
+    if image_size is not None and y.size != (image_size, image_size):
+        y = y.resize((image_size, image_size), Image.BILINEAR)
+    return y
+
+
 class SuperresDownBlurDataset:
     """HR image -> (bicubic downsample / mag, Gaussian blur[, noise]) LR pair.
 
@@ -91,10 +103,9 @@ class SuperresDownBlurDataset:
         return len(self.filenames)
 
     def __getitem__(self, idx: int):
-        y = _load_any(os.path.join(self.root_dir, self.filenames[idx]), self.data_format)
-        y = y.convert("RGB") if y.mode not in ("RGB", "L") else y
-        if self.image_size is not None:
-            y = y.resize((self.image_size, self.image_size), Image.BILINEAR)
+        y = _decode_rgb(
+            os.path.join(self.root_dir, self.filenames[idx]), self.data_format, self.image_size
+        )
         mag = self.magnification_factor
         x = y.resize((y.size[0] // mag, y.size[1] // mag), Image.BICUBIC)
         x = x.filter(ImageFilter.GaussianBlur(self.blur_radius))
@@ -123,10 +134,9 @@ class DecodeOnlyDataset:
         return len(self.filenames)
 
     def __getitem__(self, idx: int):
-        y = _load_any(os.path.join(self.root_dir, self.filenames[idx]), self.data_format)
-        y = y.convert("RGB") if y.mode not in ("RGB", "L") else y
-        if y.size != (self.image_size, self.image_size):
-            y = y.resize((self.image_size, self.image_size), Image.BILINEAR)
+        y = _decode_rgb(
+            os.path.join(self.root_dir, self.filenames[idx]), self.data_format, self.image_size
+        )
         arr = np.asarray(y, np.uint8)
         if arr.ndim == 2:
             arr = arr[:, :, None]

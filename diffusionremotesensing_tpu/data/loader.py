@@ -68,6 +68,14 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
+        if self.num_shards > 1:
+            # DistributedSampler parity: pad by wrap-around so every shard
+            # has the SAME length — in a multi-process mesh each train step
+            # is a collective all processes must enter, so unequal shard
+            # sizes would deadlock the job on the last batches of an epoch.
+            total = -(-n // self.num_shards) * self.num_shards
+            if total > n:
+                idx = np.concatenate([idx, idx[: total - n]])
         return idx[self.shard_index :: self.num_shards]
 
     def _batch_indices(self):

@@ -284,7 +284,7 @@ def make_process(
         state_codec = (space_to_depth, depth_to_space)
 
     prepare_fn = None
-    if getattr(model, "s2d", False):
+    if use_s2d:
         # hoist the s2d-transformed kernels out of the sampling scan (they
         # are a pure function of the params; rebuilding the scatter-assembled
         # kernels every step measured ~165us/step on v5e)
@@ -295,7 +295,7 @@ def make_process(
     if getattr(model, "conditioning", None) in ("superres", "sar"):
         # hoisted in the layout the model's inference path consumes:
         # space-to-depth when the s2d level-0 execution is enabled
-        method = "encode_cond_s2d" if getattr(model, "s2d", False) else "encode_cond"
+        method = "encode_cond_s2d" if use_s2d else "encode_cond"
 
         def encode_cond_fn(variables, cond):
             return model.apply(variables, cond, method=method)

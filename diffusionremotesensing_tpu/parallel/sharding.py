@@ -71,10 +71,24 @@ def shard_batch(batch, mesh: Optional[Mesh], axis_name: str = "data"):
 
     Pads nothing: callers must make the leading dim divisible by the mesh
     size (the data loader handles this).
+
+    Single-process: a plain sharded device_put (the host array IS the global
+    batch). Multi-process: each process holds only ITS loader shard
+    (DataLoader num_shards/shard_index wiring in cli.py), so the local array
+    is the process-local piece of the global batch and must be assembled
+    with make_array_from_process_local_data — device_put would wrongly treat
+    each process's different local batch as the full global array.
     """
     if mesh is None:
         return batch
     sharding = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        def place(x):
+            if hasattr(x, "ndim") and x.ndim > 0:
+                return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+            return jax.device_put(x, replicated_sharding(mesh))
+
+        return jax.tree_util.tree_map(place, batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding) if hasattr(x, "ndim") and x.ndim > 0
         else jax.device_put(x, replicated_sharding(mesh)),

@@ -13,7 +13,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np  # noqa: E402
 
 
-def main():
+def main(s2d: bool = True):
+    """s2d=False selects the bit-reference inference path (PARITY.md)."""
     import jax
     import matplotlib
 
@@ -37,7 +38,7 @@ def main():
 
     model = residual_attention_unet_generation(
         image_channels=input_channels, out_dim=input_channels, num_classes=len(classes),
-        s2d=True,  # exact-math fast inference path (tests/test_s2d_model.py)
+        s2d=s2d,  # fp-tolerance-equivalent fast path (tests/test_s2d_model.py)
     )
     state, _ = load_snapshot(snapshot_path)
     variables = {"params": state["params"], "batch_stats": state.get("batch_stats", {})}

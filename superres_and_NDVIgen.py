@@ -46,7 +46,8 @@ def _load_variables(model_name: str, device=None):
     return variables
 
 
-def super_resolver(lr_img: np.ndarray, device=None, model_name: str = "", key=None):
+def super_resolver(lr_img: np.ndarray, device=None, model_name: str = "", key=None,
+                   s2d: bool = True):
     """Super-resolve a single LR image (H, W, C) with the named checkpoint.
 
     model_name must contain 'magnificationN' and 'LRimgsizeN' parts, e.g.
@@ -70,7 +71,10 @@ def super_resolver(lr_img: np.ndarray, device=None, model_name: str = "", key=No
     model = residual_attention_unet_superres(
         image_channels=input_channels, out_dim=input_channels,
         magnification_factor=magnification_factor,
-        s2d=True,  # s2d inference execution: exact math (tests/test_s2d_model.py), ~1.6x faster
+        # s2d inference execution: same math to fp tolerance
+        # (tests/test_s2d_model.py), ~1.6x faster; pass s2d=False for the
+        # bit-reference path
+        s2d=s2d,
     )
     variables = _load_variables(model_name, device)
     proc = make_process(model, "cosine", 1500, image_size)
@@ -78,7 +82,8 @@ def super_resolver(lr_img: np.ndarray, device=None, model_name: str = "", key=No
     return np.clip(np.asarray(out)[0], 0.0, 1.0)
 
 
-def SAR_to_NDVI_generator(SAR_img_path: str, device=None, n_generations: int = 1, key=None):
+def SAR_to_NDVI_generator(SAR_img_path: str, device=None, n_generations: int = 1, key=None,
+                          s2d: bool = True):
     """Generate NDVI image(s) from a SAR tensor file with the shipped
     'Residual_Attention_UNet_EMA_imgsize128_SAR_TO_NDVI' checkpoint."""
     import jax
@@ -105,7 +110,7 @@ def SAR_to_NDVI_generator(SAR_img_path: str, device=None, n_generations: int = 1
         raise ValueError("SAR image values are not in the range [-1, 1]")
 
     model = residual_attention_unet_sar_to_ndvi(
-        sar_channels=SAR_channels, ndvi_channels=NDVI_channels, s2d=True
+        sar_channels=SAR_channels, ndvi_channels=NDVI_channels, s2d=s2d
     )
     variables = _load_variables(model_name, device)
     proc = make_process(model, "cosine", 1500, image_size)

@@ -70,8 +70,9 @@ def test_loader_sharding_partitions():
 
 
 def test_loader_sharding_shuffled_disjoint_and_epoch_reshuffle():
-    """DistributedSampler parity: shards partition each shuffled epoch
-    disjointly, and set_epoch reshuffles shard membership consistently."""
+    """DistributedSampler parity: shards cover each shuffled epoch with
+    EQUAL lengths (wrap-around padding — unequal shard sizes would deadlock
+    multi-process collective steps), and set_epoch reshuffles membership."""
     ds = [{"x": np.full((1,), float(i), np.float32)} for i in range(17)]
 
     def collect(shard, epoch):
@@ -84,11 +85,13 @@ def test_loader_sharding_shuffled_disjoint_and_epoch_reshuffle():
         return out
 
     a0, b0 = collect(0, 0), collect(1, 0)
-    assert not set(a0) & set(b0)  # disjoint
-    assert sorted(a0 + b0) == list(map(float, range(17)))  # complete
+    assert len(a0) == len(b0) == 9  # ceil(17/2): equal step counts per process
+    assert set(a0) | set(b0) == set(map(float, range(17)))  # complete cover
+    # exactly one wrap-around duplicate pads 17 -> 18
+    assert len(a0) + len(b0) - len(set(a0 + b0)) == 1
     a1, b1 = collect(0, 1), collect(1, 1)
     assert a1 != a0  # epoch reseeds the permutation
-    assert sorted(a1 + b1) == list(map(float, range(17)))  # still a partition
+    assert set(a1) | set(b1) == set(map(float, range(17)))
     assert set(a1) != set(a0)  # membership actually moved between shards
 
 
