@@ -68,3 +68,20 @@ def test_s2d_training_path_unchanged():
     out, mut = m1.apply(v, x, t, cond, train=True, mutable=["batch_stats"])
     assert out.shape == (2, 16, 16, 3)
     assert "batch_stats" in mut
+
+
+def test_s2d_forward_matches_normal_sar():
+    from diffusionremotesensing_tpu.models.unet import residual_attention_unet_sar_to_ndvi
+
+    m0 = residual_attention_unet_sar_to_ndvi()
+    m1 = residual_attention_unet_sar_to_ndvi(s2d=True)
+    v = init_unet_params(m0, jax.random.PRNGKey(7), image_size=16)
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 16, 16, 1)).astype(np.float32)
+    t = np.array([2, 8], np.int32)
+    sar = rng.random((2, 16, 16, 2)).astype(np.float32)
+
+    ref = np.asarray(m0.apply(v, x, t, sar, train=False))
+    got = np.asarray(m1.apply(v, x, t, sar, train=False))
+    np.testing.assert_allclose(got, ref, atol=2e-5)

@@ -64,6 +64,18 @@ def test_superres_forward_parity(rng):
     )
     np.testing.assert_allclose(np.asarray(got), _nhwc(ref), rtol=1e-3, atol=1e-4)
 
+    # the s2d fast-inference path (the production default on inference CLIs)
+    # must hold the same parity against the imported torch checkpoint
+    fm_s2d = residual_attention_unet_superres(magnification_factor=2, s2d=True)
+    got_s2d = fm_s2d.apply(
+        variables,
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(t),
+        jnp.asarray(lr.transpose(0, 2, 3, 1)),
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(got_s2d), _nhwc(ref), rtol=1e-3, atol=1e-4)
+
 
 def test_sar_forward_parity(rng):
     from UNet_model_SAR_TO_NDVI import Residual_Attention_UNet_SAR_TO_NDVI
