@@ -243,7 +243,14 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_CACHE", "/tmp/jax_tpu_cache"))
+    # machine-scoped cache dir (same rationale as bench.py: a persistent
+    # cache written on another host emits spurious XLA:CPU AOT
+    # feature-mismatch errors / could fail to load)
+    from bench import _machine_scoped_cache
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ.get("JAX_CACHE", _machine_scoped_cache())
+    )
 
     report = {"device": str(jax.devices()[0])}
     report["denoise"] = bench_denoise(args.dtype)
