@@ -276,11 +276,14 @@ def launch_superres(args) -> None:
     train_loader = DataLoader(train_ds, args.batch_size, shuffle=True, pad_to_multiple=n_dev if n_dev > 1 else None, num_workers=nw, num_shards=n_shards, shard_index=shard_idx)
     val_loader = DataLoader(val_ds, args.batch_size, shuffle=True, pad_to_multiple=n_dev if n_dev > 1 else None, num_workers=nw, num_shards=n_shards, shard_index=shard_idx)
 
+    s2d_train = getattr(args, "s2d_train", False)
     model = residual_attention_unet_superres(
         image_channels=args.inp_out_channels,
         out_dim=args.inp_out_channels,
         magnification_factor=args.magnification_factor,
         dtype=_model_dtype(args),
+        s2d=s2d_train,  # val/preview sampling uses the matching fast path
+        s2d_train=s2d_train,
     )
     variables = create_variables(model, hr_size)
     trainer = _build_trainer(model, args, hr_size, mesh=mesh, batch_transform=batch_transform)

@@ -81,6 +81,13 @@ class ResidualAttentionUNet(nn.Module):
     # identical math, 4x the MXU lane occupancy (ops/s2d.py; the op profile
     # shows the 3-32-channel level-0 convs at 0.3-4% MFU otherwise).
     s2d: bool = False
+    # s2d execution of the TRAINING forward as well: level-0 BatchNorms
+    # compute batch statistics from the tap-reshaped tensors (identical
+    # element multisets -> identical stats) and emit momentum-updated
+    # running stats through the sown 's2d_stats' collection, which the
+    # Trainer merges into state.batch_stats. Opt-in (fp-tolerance-equivalent
+    # gradients, like --compute_dtype bfloat16).
+    s2d_train: bool = False
 
     def setup(self):
         dc, uc = self.down_channels, self.up_channels
@@ -149,13 +156,36 @@ class ResidualAttentionUNet(nn.Module):
             v = v[k]
         return v
 
-    def _bn_s2d(self, h, mod, bn_name, dt):
+    def _bn_s2d(self, h, mod, bn_name, dt, train=False, updates=None,
+                mod_name=None, taps=True):
+        """Inference: running-stat normalization (tiled 4x over taps).
+        Train: batch statistics — computed per ORIGINAL channel from the
+        tap-reshaped tensor, so the values equal the normal-layout BN's stats
+        exactly (same element multiset) — with flax's mean2-minus-mean^2
+        formulation and 0.9-momentum running update recorded in ``updates``.
+        ``taps=False`` handles s2d-branch BNs that run on normal layout."""
         p = mod.variables["params"][bn_name]
         s = mod.variables["batch_stats"][bn_name]
-        tile = lambda a: jnp.tile(a, 4).astype(dt)  # noqa: E731
-        return (h - tile(s["mean"])) * jax.lax.rsqrt(
-            tile(s["var"]) + jnp.asarray(1e-5, dt)
-        ) * tile(p["scale"]) + tile(p["bias"])
+        rep = (lambda a: jnp.tile(a, 4)) if taps else (lambda a: a)
+        if train:
+            hf = h.astype(jnp.float32)
+            if taps:
+                b_, hh, ww, c4 = hf.shape
+                hr = hf.reshape(b_, hh, ww, 4, c4 // 4)
+                axes = (0, 1, 2, 3)
+            else:
+                hr, axes = hf, (0, 1, 2)
+            mean = jnp.mean(hr, axes)
+            var = jnp.mean(jnp.square(hr), axes) - jnp.square(mean)
+            updates.setdefault(mod_name, {})[bn_name] = {
+                "mean": 0.9 * s["mean"] + 0.1 * mean,
+                "var": 0.9 * s["var"] + 0.1 * var,
+            }
+        else:
+            mean, var = s["mean"], s["var"]
+        return (h - rep(mean).astype(dt)) * jax.lax.rsqrt(
+            rep(var).astype(dt) + jnp.asarray(1e-5, dt)
+        ) * rep(p["scale"]).astype(dt) + rep(p["bias"]).astype(dt)
 
     def _time_bias(self, mod, t_emb, dt):
         """ReLU(TimeMLP(t_emb)) from a bound block's params, (B, F)."""
@@ -235,6 +265,7 @@ class ResidualAttentionUNet(nn.Module):
         dt = self.dtype or x.dtype
         SAME = ((1, 1), (1, 1))
         tile = lambda a: jnp.tile(a, 4).astype(dt)  # noqa: E731
+        updates = {}  # train-mode BN running-stat updates, sown at the end
 
         # s2d_io: caller keeps the diffusion state in s2d layout across the
         # whole sampling scan (no per-step layout shuffles of x / eps).
@@ -249,7 +280,7 @@ class ResidualAttentionUNet(nn.Module):
         blk = self.conv_blocks[0]
         h = _named_conv("s2d.blk_conv1", h_s, kern["blk_conv1"], SAME, dt)
         h = h + tile(self._p(blk, "conv1", "conv", "bias"))
-        h = nn.relu(self._bn_s2d(h, blk, "BatchNorm_0", dt))
+        h = nn.relu(self._bn_s2d(h, blk, "BatchNorm_0", dt, train, updates, "conv_block0"))
         h = h + _named_conv("s2d.blk_skip", x_skip_s, kern["blk_skip"], SAME, dt) + tile(
             self._p(blk, "conv_skip", "conv", "bias")
         )
@@ -257,9 +288,9 @@ class ResidualAttentionUNet(nn.Module):
         h = h + jnp.tile(te, (1, 4))[:, None, None, :]
         h = _named_conv("s2d.blk_conv2", h, kern["blk_conv2"], SAME, dt)
         h = h + tile(self._p(blk, "conv2", "conv", "bias"))
-        h = self._bn_s2d(h, blk, "BatchNorm_1", dt)
+        h = self._bn_s2d(h, blk, "BatchNorm_1", dt, train, updates, "conv_block0")
         s = _named_conv("s2d.blk_short", x_skip_s, kern["blk_short"], "VALID", dt) + tile(self._p(blk, "shortcut_conv", "conv", "bias"))
-        s = self._bn_s2d(s, blk, "BatchNorm_2", dt)
+        s = self._bn_s2d(s, blk, "BatchNorm_2", dt, train, updates, "conv_block0")
         res0_s = nn.relu(s + h)
 
         # ---- down0: 3x3 stride-2 conv == 2x2 s2d conv; output leaves s2d
@@ -297,18 +328,14 @@ class ResidualAttentionUNet(nn.Module):
         attn_s = _named_conv("s2d.att_rc", res0_s * psi, kern["att_rc"], "VALID", dt) + tile(
             self._p(att, "result_conv", "conv", "bias")
         )
-        attn_s = self._bn_s2d(attn_s, att, "BatchNorm_0", dt)
+        attn_s = self._bn_s2d(attn_s, att, "BatchNorm_0", dt, train, updates, "attention2")
 
         up = self.ups[2]
         te = self._time_bias(up, t_emb.astype(dt), dt)
         hh = h + te[:, None, None, :]
         hh = _named_conv("s2d.up2_conv", hh, self._p(up, "conv", "conv", "kernel"), SAME, dt)
         hh = hh + self._p(up, "conv", "conv", "bias").astype(dt)
-        pbn = up.variables["params"]["BatchNorm_0"]
-        sbn = up.variables["batch_stats"]["BatchNorm_0"]
-        hh = (hh - sbn["mean"].astype(dt)) * jax.lax.rsqrt(
-            sbn["var"].astype(dt) + jnp.asarray(1e-5, dt)
-        ) * pbn["scale"].astype(dt) + pbn["bias"].astype(dt)
+        hh = self._bn_s2d(hh, up, "BatchNorm_0", dt, train, updates, "up2", taps=False)
         hh = nn.relu(hh)
         # ConvTranspose k3 s2: 2x2 conv emitting the four output taps (s2d)
         h_s = _named_conv("s2d.up2_T", hh, kern["up2_T"], ((0, 1), (0, 1)), dt) + tile(
@@ -323,6 +350,10 @@ class ResidualAttentionUNet(nn.Module):
             kern["head_b"].astype(dt)
         )
         out_s = out_s.astype(jnp.float32)
+        if train and updates:
+            # the Trainer merges these into state.batch_stats (the flax
+            # mutable mechanism can't reach grandchild collections from here)
+            self.sow("s2d_stats", "updates", updates)
         return out_s if s2d_io else depth_to_space(out_s)
 
     def encode_cond_s2d(self, cond):
@@ -349,7 +380,8 @@ class ResidualAttentionUNet(nn.Module):
         if self.dtype is not None:
             t_emb = t_emb.astype(self.dtype)
 
-        if self.s2d and not train and not self.is_initializing():
+        use_s2d_now = (self.s2d and not train) or (self.s2d_train and train)
+        if use_s2d_now and not self.is_initializing():
             if self.conditioning in ("superres", "sar") and cond_features is None:
                 if cond is None:
                     raise ValueError(
@@ -405,6 +437,7 @@ def residual_attention_unet_superres(
     dtype=None,
     use_pallas=False,
     s2d: bool = False,
+    s2d_train: bool = False,
 ) -> ResidualAttentionUNet:
     """Superres UNet (ref UNet_model_superres.py:266): LR-image conditioned."""
     return ResidualAttentionUNet(
@@ -416,6 +449,7 @@ def residual_attention_unet_superres(
         dtype=dtype,
         use_pallas=use_pallas,
         s2d=s2d,
+        s2d_train=s2d_train,
     )
 
 
@@ -424,6 +458,7 @@ def residual_attention_unet_sar_to_ndvi(
     ndvi_channels: int = 1,
     dtype=None,
     s2d: bool = False,
+    s2d_train: bool = False,
 ) -> ResidualAttentionUNet:
     """SAR->NDVI UNet (ref UNet_model_SAR_TO_NDVI.py:263): SAR-image conditioned."""
     return ResidualAttentionUNet(
@@ -433,6 +468,7 @@ def residual_attention_unet_sar_to_ndvi(
         cond_channels=sar_channels,
         dtype=dtype,
         s2d=s2d,
+        s2d_train=s2d_train,
     )
 
 
@@ -442,6 +478,7 @@ def residual_attention_unet_generation(
     num_classes: Optional[int] = 10,
     dtype=None,
     s2d: bool = False,
+    s2d_train: bool = False,
 ) -> ResidualAttentionUNet:
     """Class-conditional UNet (ref UNet_model_generation.py:226) with CFG masking."""
     return ResidualAttentionUNet(
@@ -451,6 +488,7 @@ def residual_attention_unet_generation(
         num_classes=num_classes,
         dtype=dtype,
         s2d=s2d,
+        s2d_train=s2d_train,
     )
 
 

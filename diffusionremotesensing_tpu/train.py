@@ -53,6 +53,19 @@ class TrainState(struct.PyTreeNode):
     step: jnp.ndarray  # scalar int32, counts optimizer steps
 
 
+def _merge_nested(base, upd):
+    """Recursively overlay ``upd`` onto the (possibly frozen) ``base`` stats
+    tree — used to splice the s2d train path's self-computed level-0 BN
+    running stats into the flax-mutated batch_stats collection."""
+    out = dict(base)
+    for k, v in upd.items():
+        if k in out and hasattr(out[k], "items") and hasattr(v, "items"):
+            out[k] = _merge_nested(out[k], v)
+        else:
+            out[k] = v
+    return FrozenDict(out) if isinstance(base, FrozenDict) else out
+
+
 class Trainer:
     """Bundles a model + schedule + optimizer into train/val/sample steps.
 
@@ -193,6 +206,11 @@ class Trainer:
             x_t, noise = q_sample(schedule, x0, t, k_noise)
 
             def loss_of(params):
+                mutable = ["batch_stats"]
+                if getattr(model, "s2d_train", False):
+                    # the s2d train path computes level-0 BN stats itself and
+                    # sows the momentum-updated values (unet._forward_s2d)
+                    mutable.append("s2d_stats")
                 out, updates = model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     x_t,
@@ -200,9 +218,13 @@ class Trainer:
                     cond,
                     cond_mask,
                     train=True,
-                    mutable=["batch_stats"],
+                    mutable=mutable,
                 )
-                return loss_fn(out, noise), updates["batch_stats"]
+                new_stats = updates["batch_stats"]
+                if "s2d_stats" in updates:
+                    sown = updates["s2d_stats"]["updates"][0]
+                    new_stats = _merge_nested(new_stats, sown)
+                return loss_fn(out, noise), new_stats
 
             (loss, new_stats), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
             updates, new_opt = optimizer.update(grads, state.opt_state, state.params)

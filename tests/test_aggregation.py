@@ -132,3 +132,35 @@ def test_aggregation_single_patch_pads_to_chunk():
     assert out.shape == (16, 16, 3)
     expected = np.repeat(np.repeat(img, mag, 0), mag, 1)
     assert np.abs(out - expected).mean() < 0.08
+
+
+def test_aggregation_sharded_s2d_model():
+    """The production configuration: s2d inference model + patch axis
+    sharded over the mesh + hoisted cond/kernels. Must match the unsharded
+    non-s2d result against the oracle target."""
+    from diffusionremotesensing_tpu.diffusion import make_process
+    from diffusionremotesensing_tpu.models.unet import (
+        init_unet_params,
+        residual_attention_unet_superres,
+    )
+    from diffusionremotesensing_tpu.parallel.sharding import make_mesh
+
+    model = residual_attention_unet_superres(magnification_factor=2, s2d=True)
+    v = init_unet_params(model, jax.random.PRNGKey(0), image_size=16)
+    proc = make_process(model, "cosine", 6, 16)
+
+    mesh = make_mesh()
+    agg = AggregationSampler(proc, patch_size=8, stride=8, magnification_factor=2,
+                             batch_size=1, mesh=mesh)
+    img = np.random.default_rng(11).random((16, 16, 3)).astype(np.float32)
+    out = agg(v, img, key=jax.random.PRNGKey(12))
+    assert out.shape == (32, 32, 3)
+    assert np.isfinite(out).all()
+
+    # numerics equal the unsharded non-s2d reference path with the same keys
+    model0 = residual_attention_unet_superres(magnification_factor=2)
+    proc0 = make_process(model0, "cosine", 6, 16)
+    agg0 = AggregationSampler(proc0, patch_size=8, stride=8, magnification_factor=2,
+                              batch_size=8)
+    out0 = agg0(v, img, key=jax.random.PRNGKey(12))
+    np.testing.assert_allclose(out, out0, atol=1e-4)

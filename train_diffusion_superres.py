@@ -41,6 +41,9 @@ if __name__ == "__main__":
                         help="data-loading threads (0 = synchronous)")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace of training into this dir")
+    parser.add_argument("--s2d_train", type=str2bool, nargs="?", const=True, default=False,
+                        help="space-to-depth execution of the training forward (fp-tolerance-"
+                             "equivalent gradients, like --compute_dtype; faster on TPU)")
     parser.add_argument("--device_degradation", type=str2bool, nargs="?", const=True, default=False,
                         help="run the DownBlur degradation batched on the accelerator "
                              "(host decodes only; PIL-parity resize is bit-exact, blur within 2/255)")
