@@ -1,0 +1,132 @@
+"""Real multi-process distributed training (the multi-host analog).
+
+Round-1 review finding: the multi-host code paths (initialize_distributed,
+is_main_process gating, shard_batch's make_array_from_process_local_data
+branch, per-process loader shards) were declared but only ever ran as
+single-process no-ops. This test launches TWO separate Python processes with
+2 virtual CPU devices each, joined via jax.distributed (gloo over localhost)
+— the same topology as the reference's 2-rank DDP launch
+(/root/reference/train_diffusion_superres.py:584-676) — and asserts:
+
+* both processes compute the IDENTICAL loss for one train step on a known
+  global batch (the collectives are real, not per-process replicas), and
+  that loss equals a single-process 4-device run on the same global batch;
+* a full 2-epoch Trainer.train with process-sharded DataLoaders completes
+  with every process entering every collective (no deadlock) and stepping
+  the same number of times;
+* only process 0 writes snapshots (is_main_process), while BOTH processes
+  enter the preview branch (a global-mesh computation rank-0-only dispatch
+  would deadlock);
+* the two processes' epoch-0 loader shards partition the dataset disjointly
+  (DistributedSampler parity).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+NPROC = 2
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def mp_results(tmp_path_factory):
+    outdir = str(tmp_path_factory.mktemp("mp"))
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # the workers set their own platform/device config; scrub the test
+    # runner's 8-device XLA_FLAGS so each worker gets exactly 2 devices
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "mp_worker.py"),
+             str(pid), str(NPROC), str(port), outdir],
+            cwd=REPO,
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(NPROC)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+    results = {}
+    for pid in range(NPROC):
+        with open(os.path.join(outdir, f"result_proc{pid}.json")) as f:
+            results[pid] = json.load(f)
+    return results
+
+
+def test_two_processes_form_one_job(mp_results):
+    for pid, r in mp_results.items():
+        assert r["process_count"] == NPROC
+        assert r["device_count"] == 2 * NPROC
+        assert r["local_device_count"] == 2
+
+
+def test_train_step_loss_identical_across_processes(mp_results):
+    losses = [mp_results[p]["first_loss"] for p in range(NPROC)]
+    assert losses[0] == pytest.approx(losses[1], abs=0.0), losses
+
+
+def test_train_step_matches_single_process_global_batch(mp_results):
+    """The 2-process job's first-step loss == a single-process run over the
+    same 4-device-sharded global batch (the multi-host path changes the
+    runtime, not the math)."""
+    import jax
+
+    from diffusionremotesensing_tpu.parallel.sharding import make_mesh, shard_batch
+    from tests.mp_worker import build_trainer, global_batch
+
+    mesh = make_mesh(jax.devices()[:4])
+    trainer, variables = build_trainer(mesh)
+    state = trainer.replicate_state(trainer.init_state(variables))
+    step = trainer._build_train_step()
+    batch = shard_batch(global_batch(), mesh)
+    _, loss = step(state, batch, jax.random.PRNGKey(7))
+    assert float(loss) == pytest.approx(mp_results[0]["first_loss"], abs=1e-5)
+
+
+def test_full_train_loop_completes_in_lockstep(mp_results):
+    # 2 epochs x 2 sharded train batches (+1 step from the direct check)
+    steps = [mp_results[p]["final_step"] for p in range(NPROC)]
+    assert steps[0] == steps[1] == 5, steps
+    # every process entered the preview branch each check_preds_epoch
+    for p in range(NPROC):
+        assert mp_results[p]["previews"] == [0, 1]
+
+
+def test_only_main_process_writes_snapshots(mp_results):
+    assert mp_results[0]["snapshot_written"] is True
+    assert mp_results[1]["snapshot_written"] is False
+
+
+def test_loader_shards_partition_dataset(mp_results):
+    a = mp_results[0]["shard_indices_epoch0"]
+    b = mp_results[1]["shard_indices_epoch0"]
+    assert len(a) == len(b) == 8
+    assert sorted(a + b) == list(range(16))
