@@ -94,6 +94,7 @@ class Trainer:
         vgg_variables=None,
         allow_random_vgg: bool = False,
         batch_transform=None,
+        checkpoint_backend: str = "msgpack",
     ):
         self.model = model
         self.image_size = image_size
@@ -107,6 +108,10 @@ class Trainer:
         # see data/device_degradation.py). Applied after mesh placement so the
         # transform runs sharded.
         self.batch_transform = batch_transform
+        if checkpoint_backend not in ("msgpack", "orbax"):
+            raise ValueError(f"unknown checkpoint_backend {checkpoint_backend!r}")
+        self.checkpoint_backend = checkpoint_backend
+        self._orbax = None  # lazy OrbaxSnapshotter (async writes off-thread)
         self.epochs_run = 0
         self._rng = np.random.default_rng(seed)
         self._host_key = jax.random.PRNGKey(seed)
@@ -187,8 +192,19 @@ class Trainer:
             return
         params = state.ema_params if self.ema_smoothing else state.params
         model_state = {"params": jax.device_get(params), "batch_stats": jax.device_get(state.batch_stats)}
-        dio.save_snapshot(self.snapshot_path, model_state, epoch)
+        if self.checkpoint_backend == "orbax":
+            if self._orbax is None:
+                self._orbax = dio.OrbaxSnapshotter()
+            self._orbax.save(self.snapshot_path, model_state, epoch)
+        else:
+            dio.save_snapshot(self.snapshot_path, model_state, epoch)
         print(f"Epoch {epoch} | Training snapshot saved at {self.snapshot_path}")
+
+    def finalize_snapshots(self) -> None:
+        """Block until any in-flight async (orbax) snapshot write is durable.
+        Called at the end of ``train``; safe to call anytime."""
+        if self._orbax is not None:
+            self._orbax.wait_until_finished()
 
     # ------------------------------------------------------------------ steps
 
@@ -369,6 +385,7 @@ class Trainer:
             if verbose and is_main_process():
                 print("Epochs without improving: ", epochs_without_improving)
 
+        self.finalize_snapshots()
         return state
 
     # ------------------------------------------------------------------ infer

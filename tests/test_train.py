@@ -167,3 +167,37 @@ def test_bf16_compute_training_learns(tmp_path):
     leaf = jax.tree_util.tree_leaves(state.params)[0]
     assert leaf.dtype == jnp.float32
     assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+
+def test_orbax_snapshot_roundtrip(tmp_path):
+    """The orbax backend writes an async directory checkpoint that
+    load_snapshot auto-detects and restores to the same tree."""
+    path = os.path.join(str(tmp_path), "snap_orbax")
+    state = {"params": {"a": jnp.arange(4.0)}, "batch_stats": {"b": jnp.ones((2,))}}
+    snap = dio.OrbaxSnapshotter()
+    snap.save(path, state, 7)
+    snap.save(path, {"params": {"a": jnp.arange(4.0) + 1}, "batch_stats": {"b": jnp.ones((2,))}}, 9)
+    snap.wait_until_finished()
+    snap.close()
+    loaded, epochs = dio.load_snapshot(path)
+    assert epochs == 9
+    np.testing.assert_allclose(np.asarray(loaded["params"]["a"]), np.arange(4.0) + 1)
+
+
+def test_orbax_backend_train_and_resume(tmp_path):
+    """Trainer(checkpoint_backend='orbax') saves through the async writer and
+    a fresh (default-backend) trainer auto-resumes from the directory."""
+    trainer, state = _make_trainer(str(tmp_path), checkpoint_backend="orbax")
+    trainer.snapshot_path = os.path.join(str(tmp_path), "snapshot_orbax")
+    ds = SyntheticGenDataset(n=8)
+    loader = DataLoader(ds, batch_size=8)
+    state = trainer.train(state, epochs=2, train_loader=loader, check_preds_epoch=1, verbose=False)
+    assert os.path.isdir(trainer.snapshot_path)
+
+    trainer2, state2 = _make_trainer(str(tmp_path))
+    trainer2.snapshot_path = trainer.snapshot_path
+    state2 = trainer2.maybe_resume(state2)
+    assert trainer2.epochs_run == 1
+    a = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    b = jax.tree_util.tree_leaves(state2.params)
+    assert all(np.allclose(x, y) for x, y in zip(a, b))

@@ -34,6 +34,10 @@ if __name__ == "__main__":
                         choices=["float32", "bfloat16"])
     parser.add_argument("--num_workers", type=int, default=0,
                         help="data-loading threads (0 = synchronous)")
+    parser.add_argument("--checkpoint_backend", type=str, default="msgpack",
+                        choices=["msgpack", "orbax"],
+                        help="snapshot writer: msgpack (single file, torch-interop default) "
+                             "or orbax (async directory checkpoint; writes overlap training)")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace of training into this dir")
     parser.add_argument("--vgg19_weights", type=str, default=None,
