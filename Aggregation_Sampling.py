@@ -32,8 +32,9 @@ if __name__ == "__main__":
     parser.add_argument("--destination_path", type=str)
     parser.add_argument("--img_lr_path", type=str)
     # framework additions (optional; defaults preserve reference behavior)
-    parser.add_argument("--batch_size", type=int, default=16,
-                        help="patches denoised per jitted call")
+    parser.add_argument("--batch_size", type=int, default=48,
+                        help="patches denoised per jitted call (48 = measured "
+                             "v5e optimum for the s2d sampler, benchmarks/NOTES.md)")
     parser.add_argument("--ddim_steps", type=int, default=None,
                         help="use DDIM with this many steps instead of the full DDPM chain")
     parser.add_argument("--ddim_eta", type=float, default=0.0)

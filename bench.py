@@ -34,9 +34,10 @@ PATCH = 64          # reference Aggregation_Sampling.py:221 default
 STRIDE = 32         # reference :222 default (50% overlap)
 T = 1500            # reference inference default (superres_and_NDVIgen.py:27)
 DDIM_STEPS = 100
-BATCH = 8           # measured optimum: MXU-aligned B8 hits 4968 fwd/s vs 3679
-                    # at B7 / 4724 at B16 (T=1500 sweep, benchmarks/NOTES.md);
-                    # 49 patches run as 6 chunks of 8 + one batch-1 remainder
+BATCH = 48          # measured optimum under s2d execution: B48 hits 10458
+                    # fwd/s vs 8735 at B8 / 9363 at B32 / 8966 at B49 (T=1500
+                    # sweep, benchmarks/NOTES.md round-2); the 49-patch tile
+                    # runs as one 48-chunk + one batch-1 remainder (0.31s)
 HR_PATCH = PATCH * MAG
 FLOPS_PER_FWD = 9.8e9  # manual count, HR128 forward (benchmarks/NOTES.md)
 BF16_PEAK = {          # dense bf16 peak FLOP/s per chip

@@ -106,7 +106,9 @@ class AggregationSampler:
         patch_size: int,
         stride: int,
         magnification_factor: int,
-        batch_size: int = 8,
+        batch_size: int = 48,  # v5e measured optimum for the s2d sampler at
+        # HR128 (benchmarks/NOTES.md round-2 sweep: 10458 fwd/s at B48 vs
+        # 8735 at B8); per-DEVICE batch when a mesh is given
         mesh=None,
         ddim_steps: Optional[int] = None,
         ddim_eta: float = 0.0,
