@@ -74,44 +74,58 @@ class OrbaxSnapshotter:
     """Async snapshot writer with the reference's snapshot SEMANTICS
     (one logical {MODEL_STATE, EPOCHS_RUN} checkpoint at a fixed path,
     auto-resume when it exists — train_diffusion_superres.py:257-308) on the
-    idiomatic TPU persistence stack: orbax writes the tree in the background
-    so the train loop never blocks on host IO (the msgpack default serializes
-    the full state on the main thread). Selected with
+    idiomatic TPU persistence stack: an orbax CheckpointManager writes the
+    tree in the background so the train loop never blocks on host IO (the
+    msgpack default serializes the full state on the main thread), and
+    ``max_to_keep=1`` deletes the previous checkpoint only AFTER the new one
+    commits — a crash mid-write always leaves the last good snapshot intact
+    (matching the msgpack path's tempfile+rename atomicity). Selected with
     ``--checkpoint_backend orbax``; the checkpoint is a DIRECTORY at ``path``
-    and :func:`load_snapshot` auto-detects it.
+    (one step dir per save) and :func:`load_snapshot` auto-detects it.
+
+    Multi-process: ``save``/``wait_until_finished`` are COLLECTIVE — every
+    process must call them (orbax synchronizes hosts internally; only the
+    primary actually writes). ``Trainer.save_snapshot`` therefore routes
+    orbax saves through all ranks and rank-0-gates only the msgpack path.
     """
 
-    def __init__(self):
+    def __init__(self, path: str):
         import orbax.checkpoint as ocp
 
-        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        self._mgr = ocp.CheckpointManager(
+            os.path.abspath(path),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=1, enable_async_checkpointing=True
+            ),
+        )
 
-    def save(self, path: str, model_state: Dict[str, Any], epochs_run: int) -> None:
-        """Non-blocking save; a previous in-flight save is awaited first (the
-        handler allows one outstanding write)."""
+    def save(self, model_state: Dict[str, Any], epochs_run: int) -> None:
+        """Non-blocking save at step=epochs_run (monotonic in the train loop)."""
         import orbax.checkpoint as ocp
 
         payload = {
             "MODEL_STATE": jax.tree_util.tree_map(np.asarray, unfreeze(model_state)),
             "EPOCHS_RUN": int(epochs_run),
         }
-        self._ckptr.save(
-            os.path.abspath(path), args=ocp.args.StandardSave(payload), force=True
-        )
+        self._mgr.save(int(epochs_run), args=ocp.args.StandardSave(payload))
 
     def wait_until_finished(self) -> None:
-        self._ckptr.wait_until_finished()
+        self._mgr.wait_until_finished()
 
     def close(self) -> None:
-        self._ckptr.close()
+        self._mgr.close()
 
 
 def load_snapshot_orbax(path: str) -> Tuple[Dict[str, Any], int]:
-    """Restore an :class:`OrbaxSnapshotter` checkpoint directory."""
+    """Restore the latest committed step of an :class:`OrbaxSnapshotter`
+    checkpoint directory."""
     import orbax.checkpoint as ocp
 
-    with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
-        payload = ckptr.restore(os.path.abspath(path))
+    with ocp.CheckpointManager(os.path.abspath(path)) as mgr:
+        step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no committed orbax checkpoint under {path}")
+        payload = mgr.restore(step)
     state = jax.tree_util.tree_map(jnp.asarray, payload["MODEL_STATE"])
     return state, int(payload["EPOCHS_RUN"])
 

@@ -187,17 +187,28 @@ class Trainer:
         return state
 
     def save_snapshot(self, state: TrainState, epoch: int) -> None:
-        """EMA weights replace raw weights when EMA is on (reference :411)."""
-        if not self.snapshot_path or not is_main_process():
+        """EMA weights replace raw weights when EMA is on (reference :411).
+
+        The orbax branch is COLLECTIVE: under a multi-process mesh every rank
+        must enter CheckpointManager.save (orbax synchronizes hosts and only
+        the primary writes) — rank-0-gating it would deadlock rank 0 in the
+        sync barrier. Only the msgpack write is rank-0-gated."""
+        if not self.snapshot_path:
+            return
+        if self.checkpoint_backend == "orbax":
+            params = state.ema_params if self.ema_smoothing else state.params
+            model_state = {"params": jax.device_get(params), "batch_stats": jax.device_get(state.batch_stats)}
+            if self._orbax is None:
+                self._orbax = dio.OrbaxSnapshotter(self.snapshot_path)
+            self._orbax.save(model_state, epoch)
+            if is_main_process():
+                print(f"Epoch {epoch} | Training snapshot saved at {self.snapshot_path}")
+            return
+        if not is_main_process():
             return
         params = state.ema_params if self.ema_smoothing else state.params
         model_state = {"params": jax.device_get(params), "batch_stats": jax.device_get(state.batch_stats)}
-        if self.checkpoint_backend == "orbax":
-            if self._orbax is None:
-                self._orbax = dio.OrbaxSnapshotter()
-            self._orbax.save(self.snapshot_path, model_state, epoch)
-        else:
-            dio.save_snapshot(self.snapshot_path, model_state, epoch)
+        dio.save_snapshot(self.snapshot_path, model_state, epoch)
         print(f"Epoch {epoch} | Training snapshot saved at {self.snapshot_path}")
 
     def finalize_snapshots(self) -> None:

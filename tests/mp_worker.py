@@ -170,6 +170,16 @@ def main():
         on_preview=lambda s, e: previews.append(e),
     )
 
+    # collective orbax save: EVERY rank must enter CheckpointManager.save
+    # (rank-0-gating it deadlocks — the round-2 review finding); the path is
+    # shared and only the primary host writes.
+    orbax_path = os.path.join(outdir, "snapshot_orbax")
+    trainer.checkpoint_backend = "orbax"
+    trainer.snapshot_path = orbax_path
+    trainer.save_snapshot(state, 3)
+    trainer.finalize_snapshots()
+    orbax_saved = os.path.isdir(orbax_path)
+
     # loader shard disjointness under the real process indices
     train_loader.set_epoch(0)
     my_idx = sorted(int(i) for i in train_loader._shard_indices())
@@ -185,6 +195,7 @@ def main():
                 "final_step": int(state.step),
                 "previews": previews,
                 "snapshot_written": os.path.exists(snap),
+                "orbax_saved": orbax_saved,
                 "shard_indices_epoch0": my_idx,
             },
             f,

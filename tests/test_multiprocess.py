@@ -42,9 +42,7 @@ def _free_port() -> int:
     return port
 
 
-@pytest.fixture(scope="module")
-def mp_results(tmp_path_factory):
-    outdir = str(tmp_path_factory.mktemp("mp"))
+def _launch_workers(outdir: str):
     port = _free_port()
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
@@ -72,8 +70,22 @@ def mp_results(tmp_path_factory):
                 q.kill()
             raise
         outs.append(out)
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+    return procs, outs
+
+
+@pytest.fixture(scope="module")
+def mp_results(tmp_path_factory):
+    # one retry on a fresh port: the coordinator port is picked
+    # bind-then-release, so a rare race (or a heavily loaded host delaying
+    # the gloo rendezvous) can fail a first attempt spuriously
+    for attempt in (0, 1):
+        outdir = str(tmp_path_factory.mktemp(f"mp{attempt}"))
+        procs, outs = _launch_workers(outdir)
+        if all(p.returncode == 0 for p in procs):
+            break
+        if attempt == 1:
+            for p, out in zip(procs, outs):
+                assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
     results = {}
     for pid in range(NPROC):
         with open(os.path.join(outdir, f"result_proc{pid}.json")) as f:
@@ -123,6 +135,15 @@ def test_full_train_loop_completes_in_lockstep(mp_results):
 def test_only_main_process_writes_snapshots(mp_results):
     assert mp_results[0]["snapshot_written"] is True
     assert mp_results[1]["snapshot_written"] is False
+
+
+def test_orbax_collective_save_completes_on_all_ranks(mp_results):
+    """Orbax saves are collective (every rank enters CheckpointManager.save;
+    the primary writes) — a rank-0-only dispatch would deadlock in orbax's
+    host-sync barrier. Both workers returning proves liveness; the primary's
+    directory proves the write committed."""
+    for p in range(NPROC):
+        assert mp_results[p]["orbax_saved"] is True
 
 
 def test_loader_shards_partition_dataset(mp_results):

@@ -171,12 +171,13 @@ def test_bf16_compute_training_learns(tmp_path):
 
 def test_orbax_snapshot_roundtrip(tmp_path):
     """The orbax backend writes an async directory checkpoint that
-    load_snapshot auto-detects and restores to the same tree."""
+    load_snapshot auto-detects and restores to the same tree; the latest
+    committed step wins and earlier steps are garbage-collected only after
+    the newer one commits (max_to_keep=1 durability semantics)."""
     path = os.path.join(str(tmp_path), "snap_orbax")
-    state = {"params": {"a": jnp.arange(4.0)}, "batch_stats": {"b": jnp.ones((2,))}}
-    snap = dio.OrbaxSnapshotter()
-    snap.save(path, state, 7)
-    snap.save(path, {"params": {"a": jnp.arange(4.0) + 1}, "batch_stats": {"b": jnp.ones((2,))}}, 9)
+    snap = dio.OrbaxSnapshotter(path)
+    snap.save({"params": {"a": jnp.arange(4.0)}, "batch_stats": {"b": jnp.ones((2,))}}, 7)
+    snap.save({"params": {"a": jnp.arange(4.0) + 1}, "batch_stats": {"b": jnp.ones((2,))}}, 9)
     snap.wait_until_finished()
     snap.close()
     loaded, epochs = dio.load_snapshot(path)
