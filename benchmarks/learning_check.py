@@ -1,0 +1,169 @@
+"""End-to-end learning + quality gate on synthetic structured data.
+
+The reference repository ships no benchmark numbers and its trained weights
+are stripped from this mount (BASELINE.md), so task quality cannot be judged
+against a reference checkpoint. This script is the self-contained substitute:
+it trains the flagship superres recipe (DownBlur x2, MSE, EMA, cosine/1500 —
+/root/reference/README.md:71) on procedurally generated "remote-sensing-like"
+images (smooth background fields + sharp geometric structures), then
+super-resolves held-out LR tiles through the full aggregation-sampling path
+and reports PSNR/SSIM vs the ground-truth HR, side by side with a bicubic
+upsampling baseline. A trained diffusion SR model must beat bicubic on the
+sharp structure it learned; this is the pass/fail learning gate.
+
+Usage:
+    python -m benchmarks.learning_check --prepare <dir>      # write dataset
+    python -m benchmarks.learning_check --evaluate <dir> \
+        --snapshot models_run/<name>/weights/snapshot.pt [--ddim_steps 100]
+
+Training itself runs through the REAL CLI (train_diffusion_superres.py) so
+the checked path is the user path; see benchmarks/NOTES.md for the recipe
+and measured results.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+HR = 128          # training image size (HR patch)
+MAG = 2
+BLUR_RADIUS = 0.5  # reference flagship recipe value
+TILE_HR = 256     # evaluation tile (the aggregation path: 9 patches at stride 32)
+
+
+def _draw_image(rng: np.random.Generator, size: int) -> np.ndarray:
+    """Smooth low-frequency field + sharp shapes: content where x2 SR is
+    learnable (edges must be hallucinated sharper than bicubic renders them)."""
+    # low-frequency background: blocky upsampled noise (shapes draw over it)
+    small = rng.random((8, 8, 3)).astype(np.float32)
+    reps = size // 8
+    img = np.kron(small, np.ones((reps, reps, 1), np.float32))
+    # sharp rectangles
+    for _ in range(rng.integers(6, 12)):
+        h = int(rng.integers(size // 16, size // 3))
+        w = int(rng.integers(size // 16, size // 3))
+        y = int(rng.integers(0, size - h))
+        x = int(rng.integers(0, size - w))
+        color = rng.random(3).astype(np.float32)
+        img[y : y + h, x : x + w] = color
+    # sharp lines (1-2 px): the hardest content for naive upsampling
+    for _ in range(rng.integers(4, 8)):
+        t = int(rng.integers(1, 3))
+        c = rng.random(3).astype(np.float32)
+        if rng.random() < 0.5:
+            y = int(rng.integers(0, size - t))
+            img[y : y + t, :] = c
+        else:
+            x = int(rng.integers(0, size - t))
+            img[:, x : x + t] = c
+    return (img * 255).astype(np.uint8)
+
+
+def prepare(root: str, n_train: int = 600, n_val: int = 60, seed: int = 0) -> None:
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    for split, n in (("train_original", n_train), ("val_original", n_val)):
+        d = os.path.join(root, split)
+        os.makedirs(d, exist_ok=True)
+        for i in range(n):
+            Image.fromarray(_draw_image(rng, HR)).save(os.path.join(d, f"img_{i:04d}.png"))
+    # held-out evaluation tiles at TILE_HR (disjoint seed stream)
+    d = os.path.join(root, "eval_tiles")
+    os.makedirs(d, exist_ok=True)
+    erng = np.random.default_rng(seed + 10_000)
+    for i in range(4):
+        Image.fromarray(_draw_image(erng, TILE_HR)).save(os.path.join(d, f"tile_{i}.png"))
+    print(f"dataset at {root}: {n_train} train / {n_val} val / 4 eval tiles")
+
+
+def _degrade_lr(hr_u8: np.ndarray) -> np.ndarray:
+    """The training degradation (get_data_superres semantics: PIL bicubic
+    downsample by MAG + GaussianBlur(BLUR_RADIUS)), applied to an eval tile."""
+    from PIL import Image, ImageFilter
+
+    im = Image.fromarray(hr_u8)
+    lr = im.resize((im.width // MAG, im.height // MAG), Image.BICUBIC)
+    lr = lr.filter(ImageFilter.GaussianBlur(BLUR_RADIUS))
+    return np.asarray(lr, np.float32) / 255.0
+
+
+def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int = 1500):
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from bench import _machine_scoped_cache
+
+    jax.config.update("jax_compilation_cache_dir", _machine_scoped_cache())
+
+    from diffusionremotesensing_tpu.aggregation import AggregationSampler
+    from diffusionremotesensing_tpu.diffusion import make_process
+    from diffusionremotesensing_tpu.io import load_snapshot
+    from diffusionremotesensing_tpu.models.unet import residual_attention_unet_superres
+    from diffusionremotesensing_tpu.ops.resize import upsample_bicubic
+    from diffusionremotesensing_tpu.utils import psnr, ssim
+
+    state, _ = load_snapshot(snapshot)
+    variables = {"params": state["params"], "batch_stats": state.get("batch_stats", {})}
+    model = residual_attention_unet_superres(
+        magnification_factor=MAG, dtype=jnp.bfloat16, s2d=True
+    )
+    proc = make_process(model, "cosine", noise_steps, HR)
+    agg = AggregationSampler(
+        proc, patch_size=HR // MAG, stride=HR // (2 * MAG), magnification_factor=MAG,
+        ddim_steps=ddim_steps,
+    )
+
+    rows = []
+    tiles = sorted(os.listdir(os.path.join(root, "eval_tiles")))
+    for i, name in enumerate(tiles):
+        hr_u8 = np.asarray(Image.open(os.path.join(root, "eval_tiles", name)))
+        hr = hr_u8.astype(np.float32) / 255.0
+        lr = _degrade_lr(hr_u8)
+        sr = np.asarray(agg(variables, lr, key=jax.random.PRNGKey(100 + i)))
+        bic = np.clip(np.asarray(upsample_bicubic(jnp.asarray(lr)[None], MAG))[0], 0, 1)
+        rows.append(
+            {
+                "tile": name,
+                "sr_psnr_db": psnr(sr, hr, data_range=1.0),
+                "sr_ssim": ssim(sr, hr, data_range=1.0),
+                "bicubic_psnr_db": psnr(bic, hr, data_range=1.0),
+                "bicubic_ssim": ssim(bic, hr, data_range=1.0),
+            }
+        )
+    summary = {
+        "snapshot": snapshot,
+        "sampler": f"DDIM-{ddim_steps}" if ddim_steps else f"DDPM T={noise_steps}",
+        "tiles": rows,
+        "mean_sr_psnr_db": float(np.mean([r["sr_psnr_db"] for r in rows])),
+        "mean_bicubic_psnr_db": float(np.mean([r["bicubic_psnr_db"] for r in rows])),
+        "mean_sr_ssim": float(np.mean([r["sr_ssim"] for r in rows])),
+        "mean_bicubic_ssim": float(np.mean([r["bicubic_ssim"] for r in rows])),
+    }
+    summary["beats_bicubic"] = summary["mean_sr_psnr_db"] > summary["mean_bicubic_psnr_db"]
+    print(json.dumps(summary, indent=2))
+    return summary
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--prepare", type=str, default=None, metavar="DIR")
+    p.add_argument("--evaluate", type=str, default=None, metavar="DIR")
+    p.add_argument("--snapshot", type=str, default=None)
+    p.add_argument("--ddim_steps", type=int, default=None)
+    p.add_argument("--noise_steps", type=int, default=1500)
+    args = p.parse_args()
+    if args.prepare:
+        prepare(args.prepare)
+    if args.evaluate:
+        assert args.snapshot, "--evaluate needs --snapshot"
+        evaluate(args.evaluate, args.snapshot, args.ddim_steps, args.noise_steps)
+
+
+if __name__ == "__main__":
+    main()
