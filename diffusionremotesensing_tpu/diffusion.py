@@ -43,12 +43,26 @@ __all__ = [
 ]
 
 
+def _normal_packed(key: jax.Array, shape, dtype) -> jnp.ndarray:
+    """jax.random.normal drawn FLAT then reshaped — bit-identical output
+    (threefry fills row-major from a flat counter, so normal(k, (a, b)) ==
+    normal(k, (a*b,)).reshape(a, b)), but the expensive bits->normal math
+    runs on a (N/128, 128)-tileable array at full VPU lane occupancy instead
+    of a 3- or 12-channel lane layout (~9% occupancy; the per-step RNG was
+    ~250us/step of the B=48 s2d sampler before this, see benchmarks/NOTES.md).
+    """
+    n = 1
+    for s in shape:
+        n *= int(s)
+    return jax.random.normal(key, (n,), dtype=dtype).reshape(shape)
+
+
 def q_sample(schedule: Schedule, x0: jnp.ndarray, t: jnp.ndarray, key: jax.Array):
     """Forward noising. Returns (x_t, eps) with eps ~ N(0, I).
 
     x0: (B, H, W, C); t: (B,) ints.
     """
-    eps = jax.random.normal(key, x0.shape, dtype=x0.dtype)
+    eps = _normal_packed(key, x0.shape, x0.dtype)
     sqrt_ah = jnp.sqrt(schedule.alpha_hat[t])[:, None, None, None]
     sqrt_omah = jnp.sqrt(1.0 - schedule.alpha_hat[t])[:, None, None, None]
     return sqrt_ah * x0 + sqrt_omah * eps, eps
@@ -153,7 +167,7 @@ def make_sampler(
             k, k_noise = jax.random.split(k)
             t = jnp.full((n,), i, dtype=jnp.int32)
             eps_hat = eps_fn(x, t)
-            z = jax.random.normal(k_noise, orig_shape, dtype=x.dtype)
+            z = _normal_packed(k_noise, orig_shape, x.dtype)
             if enc is not None:
                 z = enc(z)
             z = jnp.where(i > 1, z, jnp.zeros_like(z))
@@ -242,7 +256,7 @@ def make_ddim_sampler(
                 * jnp.sqrt(1.0 - ah / ah_prev)
             )
             dir_xt = jnp.sqrt(jnp.maximum(1.0 - ah_prev - sigma**2, 0.0)) * eps_hat
-            z = jax.random.normal(k_noise, orig_shape, dtype=x.dtype)
+            z = _normal_packed(k_noise, orig_shape, x.dtype)
             if enc is not None:
                 z = enc(z)
             x = jnp.sqrt(ah_prev) * x0_pred + dir_xt + sigma * z

@@ -232,7 +232,6 @@ class ResidualAttentionUNet(nn.Module):
             "down0": k3s2_to_s2d(self._p(self.downs[0], "conv", "kernel")),
             "att_wx": k2s2_to_1x1(self._p(att, "w_x", "conv", "kernel")),
             "att_rc": k1_to_blockdiag(self._p(att, "result_conv", "conv", "kernel")),
-            "up2_T": kT_to_s2d(self._p(up, "transform", "kernel")),
         }
         # HEAD COMPOSITION: up_conv2's output feeds ONLY the 1x1 output conv,
         # so the two linear layers compose into one 3x3 conv (kernel W@V,
@@ -245,11 +244,68 @@ class ResidualAttentionUNet(nn.Module):
         w_out = self._p(self.output, "conv", "kernel")[0, 0]    # (32, out)
         b_out = self._p(self.output, "conv", "bias")
         head = jnp.einsum("uvic,co->uvio", w_up, w_out)
-        k["head"] = k3_to_s2d(head)[:, :, self._upconv2_plain_concat_perm(), :]
-        k["head_b"] = b_up @ w_out + b_out                       # (out_dim,)
+        head_s2d = k3_to_s2d(head)[:, :, self._upconv2_plain_concat_perm(), :]
+        n_up = 4 * self.up_channels[2]           # s2d channels of the up half
+        H_up = head_s2d[:, :, :n_up, :]          # (3,3,4*64,4*out)
+        k["head_at"] = head_s2d[:, :, n_up:, :]  # consumes attn_s directly
+
+        # UP-BRANCH COMPOSITION: up2's ConvTranspose (as the s2d 2x2 conv
+        # K2, pad (0,1)) feeds the head with NO nonlinearity between, so
+        # head∘up2_T collapses to ONE 4x4 conv on the 64-ch `hh` (pad (1,2))
+        # — ~4x fewer MACs for this pair and the (B,H/2,W/2,256) s2d
+        # intermediate (100MB/step at the flagship shape) never exists.
+        # Boundary: the head's SAME padding zeroes the whole intermediate at
+        # row/col -1, while the composed conv sees x-padding there instead —
+        # corrected exactly by subtracting two 1-wide strip convs (kernels
+        # below) and per-edge bias terms (assembled shape-dependently in
+        # _forward_s2d). Equivalence pinned by tests/test_s2d_model.py.
+        K2 = kT_to_s2d(self._p(up, "transform", "kernel"))       # (2,2,64,256)
+        K4 = jnp.zeros((4, 4) + (K2.shape[2], H_up.shape[3]), K2.dtype)
+        for dy in range(3):
+            for ky in range(2):
+                for dx in range(3):
+                    for kx in range(2):
+                        K4 = K4.at[dy + ky, dx + kx].add(
+                            jnp.einsum("im,mo->io", K2[ky, kx], H_up[dy, dx])
+                        )
+        k["head_up4"] = K4
+        # top-row / left-col corrections: the composed conv's spurious
+        # contribution through intermediate row/col -1 (see derivation above)
+        k["head_fix_x"] = jnp.stack(
+            [
+                sum(
+                    jnp.einsum("im,mo->io", K2[1, kx], H_up[0, dx])
+                    for dx in range(3)
+                    for kx in range(2)
+                    if dx + kx == t
+                )
+                for t in range(4)
+            ]
+        )[None]  # (1, 4, 64, out4)
+        k["head_fix_y"] = jnp.stack(
+            [
+                sum(
+                    jnp.einsum("im,mo->io", K2[ky, 1], H_up[dy, 0])
+                    for dy in range(3)
+                    for ky in range(2)
+                    if dy + ky == t
+                )
+                for t in range(4)
+            ]
+        )[:, None]  # (4, 1, 64, out4)
+        # corner term double-subtracted by the two strips: add back once
+        k["head_fix_c"] = jnp.einsum("im,mo->io", K2[1, 1], H_up[0, 0])
+        # bias pieces: head's own (uniform over taps & space) + the up2_T
+        # bias routed through each head tap (edge rows/cols see fewer taps —
+        # the per-edge deficits are assembled into a bias frame at runtime)
+        b_T = jnp.tile(self._p(up, "transform", "bias"), 4)       # (256,)
+        k["head_b"] = jnp.tile(b_up @ w_out + b_out, 4)           # (out4,)
         dt = self.dtype
         if dt is not None:
             k = jax.tree_util.tree_map(lambda a: a.astype(dt), k)
+        # bias-tap table stays f32: reduced into the (small) bias frame at
+        # runtime, where bf16 would cost visible precision on a pure constant
+        k["head_bT_taps"] = jnp.einsum("uvmo,m->uvo", H_up, b_T)  # (3,3,out4)
         return k
 
     def _forward_s2d(self, x, t_emb, cond_features, train, kern=None, s2d_io=False):
@@ -337,19 +393,31 @@ class ResidualAttentionUNet(nn.Module):
         hh = hh + self._p(up, "conv", "conv", "bias").astype(dt)
         hh = self._bn_s2d(hh, up, "BatchNorm_0", dt, train, updates, "up2", taps=False)
         hh = nn.relu(hh)
-        # ConvTranspose k3 s2: 2x2 conv emitting the four output taps (s2d)
-        h_s = _named_conv("s2d.up2_T", hh, kern["up2_T"], ((0, 1), (0, 1)), dt) + tile(
-            self._p(up, "transform", "bias")
-        )
 
-        # PLAIN concat (the head kernel's input channels were permuted at
-        # prepare time to consume [s2d(up) | s2d(attn)] directly), then the
-        # composed up_conv2 @ output head in one conv.
-        h_s = jnp.concatenate([h_s, attn_s], axis=-1)
-        out_s = _named_conv("s2d.head", h_s, kern["head"], SAME, dt) + tile(
-            kern["head_b"].astype(dt)
+        # head ∘ ConvTranspose composed into ONE 4x4 conv on the 64-ch hh
+        # (~4x fewer MACs than up2_T + head; the (B,H/2,W/2,256) s2d
+        # intermediate never exists) plus the head's attn-branch 3x3 on
+        # attn_s. Derivation and boundary analysis in prepare_s2d_kernels.
+        out_s = _named_conv("s2d.head_up4", hh, kern["head_up4"], ((1, 2), (1, 2)), dt)
+        out_s = out_s + _named_conv("s2d.head_at", attn_s, kern["head_at"], SAME, dt)
+        # boundary corrections: the composed conv leaks x-padding through
+        # intermediate row/col -1, which the uncomposed head zeroed out
+        fix_t = _named_conv("s2d.head_fix_x", hh[:, :1], kern["head_fix_x"], ((0, 0), (1, 2)), dt)
+        fix_l = _named_conv("s2d.head_fix_y", hh[:, :, :1], kern["head_fix_y"], ((1, 2), (0, 0)), dt)
+        out_s = out_s.at[:, :1].add(-fix_t).at[:, :, :1].add(-fix_l)
+        # the two strips double-subtract the (0,0) corner term — re-add once
+        out_s = out_s.at[:, :1, :1].add(
+            jnp.einsum("bi,io->bo", hh[:, 0, 0], kern["head_fix_c"])[:, None, None]
         )
-        out_s = out_s.astype(jnp.float32)
+        # bias frame: the head's own bias is uniform; the ConvTranspose bias
+        # flows through only the head taps whose intermediate row/col is in
+        # range, so edge rows/cols see fewer taps (constant-folded per shape)
+        taps = kern["head_bT_taps"]                              # (3,3,out4) f32
+        Hs, Ws = out_s.shape[1], out_s.shape[2]
+        rows = jnp.ones((Hs, 3)).at[0, 0].set(0.0).at[Hs - 1, 2].set(0.0)
+        cols = jnp.ones((Ws, 3)).at[0, 0].set(0.0).at[Ws - 1, 2].set(0.0)
+        frame = jnp.einsum("yu,xv,uvo->yxo", rows, cols, taps)
+        out_s = out_s.astype(jnp.float32) + (frame + kern["head_b"].astype(jnp.float32))[None]
         if train and updates:
             # the Trainer merges these into state.batch_stats (the flax
             # mutable mechanism can't reach grandchild collections from here)
