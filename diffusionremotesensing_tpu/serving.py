@@ -138,6 +138,9 @@ class InferenceServer:
             self._sampler = self.process.sampler()
         self._key = jax.random.PRNGKey(seed)
         self._lock = threading.Lock()
+        self._ddim_steps = ddim_steps
+        self._agg = None                 # lazy AggregationSampler (tiled SR)
+        self._tile_lock = threading.Lock()
         self.batcher = MicroBatcher(self._run_batch, max_batch, max_wait_ms)
         # the fixed shape every request must match (one compiled program;
         # validated per request so one bad input cannot poison a micro-batch
@@ -206,6 +209,36 @@ class InferenceServer:
             outs.append(r)
         return outs
 
+    def infer_tile(self, lr_img: np.ndarray) -> np.ndarray:
+        """Tiled super-resolution of an arbitrary-size LR image through
+        aggregation sampling (superres task only) — the production path for
+        whole scenes, serving the same flow as Aggregation_Sampling.py.
+
+        Unlike the fixed-shape micro-batched endpoints, the tile's patch set
+        is already a large device batch; requests serialize on a tile lock.
+        Each new tile SIZE compiles its remainder chunk once (cached by jit),
+        so a service should stick to a fixed tile size for latency SLOs."""
+        if self.task != "superres":
+            raise ValueError("infer_tile is only available for task='superres'")
+        p = self.expected_cond_shape[0]
+        img = np.asarray(lr_img, np.float32)
+        if img.ndim != 3 or img.shape[2] != self.model.cond_channels or min(img.shape[:2]) < p:
+            raise ValueError(
+                f"tile must be (H>={p}, W>={p}, {self.model.cond_channels}), got {tuple(img.shape)}"
+            )
+        with self._tile_lock:
+            if self._agg is None:
+                from diffusionremotesensing_tpu.aggregation import AggregationSampler
+
+                self._agg = AggregationSampler(
+                    self.process,
+                    patch_size=p,
+                    stride=p // 2,
+                    magnification_factor=self.model.magnification_factor or 1,
+                    ddim_steps=self._ddim_steps,
+                )
+            return np.asarray(self._agg(self.variables, img, key=self._next_key()))
+
     def warmup(self):
         """Compile the sampler before accepting traffic."""
         if self.task == "generation":
@@ -256,6 +289,20 @@ class InferenceServer:
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(length) or b"{}")
+                    if self.path == "/superres_tile":
+                        if outer.task != "superres":
+                            self._reply(404, {"error": "tile endpoint requires task=superres"})
+                            return
+                        if "image" not in req:
+                            self._reply(400, {"error": "missing required field 'image'"})
+                            return
+                        try:
+                            out = outer.infer_tile(_decode_image(req["image"]))
+                        except ValueError as e:
+                            self._reply(400, {"error": str(e)})
+                            return
+                        self._reply(200, {"image": _encode_image(out)})
+                        return
                     if self._PATH_TASK.get(self.path) != outer.task:
                         self._reply(404, {"error": f"path {self.path} not served by task {outer.task}"})
                         return

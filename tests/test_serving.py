@@ -158,3 +158,43 @@ def test_shutdown_fails_pending_and_new_requests():
     # new submissions after shutdown fail fast instead of hanging
     r2 = mb.submit(2).get(timeout=5)
     assert isinstance(r2, RuntimeError)
+
+
+def test_infer_tile_aggregation_endpoint():
+    """/superres_tile: whole-scene tiled SR through aggregation sampling
+    (the Aggregation_Sampling.py flow behind the serving surface)."""
+    srv = _superres_server()  # model input LR 8 -> HR 16, so patch_size=8
+    tile = np.random.default_rng(3).random((16, 16, 3)).astype(np.float32)
+    out = srv.infer_tile(tile)
+    assert out.shape == (32, 32, 3)
+    assert out.min() >= 0 and out.max() <= 1
+
+    # validation: too-small tiles and wrong channel counts are rejected
+    for bad in (np.zeros((4, 4, 3), np.float32), np.zeros((16, 16, 1), np.float32)):
+        try:
+            srv.infer_tile(bad)
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+
+    # HTTP surface
+    httpd = srv.make_http_server(port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        img = Image.fromarray((tile * 255).astype(np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, "PNG")
+        body = json.dumps({"image": base64.b64encode(buf.getvalue()).decode()}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/superres_tile", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out = json.loads(r.read())
+        arr = np.asarray(Image.open(io.BytesIO(base64.b64decode(out["image"]))))
+        assert arr.shape == (32, 32, 3)
+    finally:
+        httpd.shutdown()
+        srv.batcher.shutdown()
