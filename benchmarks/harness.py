@@ -251,6 +251,11 @@ def main():
     jax.config.update(
         "jax_compilation_cache_dir", os.environ.get("JAX_CACHE", _machine_scoped_cache())
     )
+    # never WRITE the small CPU-init compiles (1-2s) into the cache: warm
+    # loads of XLA:CPU AOT entries always emit 'machine features mismatch'
+    # errors (+prefer-no-gather/scatter pseudo-features are absent from
+    # runtime host detection); the 30s+ TPU tunnel compiles still cache
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     report = {"device": str(jax.devices()[0])}
     report["denoise"] = bench_denoise(args.dtype)

@@ -333,15 +333,43 @@ class Trainer:
         verbose: bool = True,
         on_preview: Optional[Callable[[TrainState, int], None]] = None,
     ) -> TrainState:
-        """Epoch loop mirroring the reference's Diffusion.train control flow."""
+        """Epoch loop mirroring the reference's Diffusion.train control flow.
+
+        Preemption-safe: on SIGTERM/SIGINT the loop finishes the current
+        unit of work, snapshots, and returns cleanly (TPU pods are routinely
+        preempted with a grace period). Granularity: per-BATCH when
+        single-process; per-EPOCH under a multi-process mesh — every train
+        step and orbax save is a collective all ranks must enter, and ranks
+        receive the signal at different batch indices, so breaking
+        mid-epoch would deadlock the stragglers (shard lengths are equal by
+        construction, making the epoch boundary a safe sync point)."""
         if self._train_step is None:
             self._train_step = self._build_train_step()
         if self._val_step is None and val_loader is not None:
             self._val_step = self._build_val_step()
         state = self.replicate_state(state)
 
+        import signal
+
+        self._stop_requested = False
+        multiproc = jax.process_count() > 1
+
+        def _on_signal(signum, frame):
+            self._stop_requested = True
+            if is_main_process():
+                print(f"signal {signum}: will snapshot and stop at the next "
+                      f"{'epoch' if multiproc else 'batch'} boundary")
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _on_signal)
+            except ValueError:  # not the main thread (e.g. serving/test harness)
+                pass
+
         best_loss = float("inf")
         epochs_without_improving = 0
+        interrupted = False
 
         for epoch in range(self.epochs_run, epochs):
             if hasattr(train_loader, "set_epoch"):
@@ -350,6 +378,9 @@ class Trainer:
             t0 = time.time()
             losses, nb = [], 0
             for batch in train_loader:
+                if self._stop_requested and not multiproc:
+                    interrupted = True
+                    break
                 batch = self._prep_batch(batch)
                 state, loss = self._train_step(state, batch, self.next_key())
                 # keep losses on-device: a float() here would block dispatch
@@ -361,6 +392,13 @@ class Trainer:
             if verbose and is_main_process():
                 print(f"Epoch {epoch}: Running Train ({self.loss_name}) {running:.6f}  [{sps:.2f} steps/s]")
             self.metrics.log(epoch=epoch, train_loss=running, steps_per_sec=sps, step=int(state.step))
+
+            if self._stop_requested:
+                interrupted = True
+                self.save_snapshot(state, epoch)
+                if verbose and is_main_process():
+                    print(f"Epoch {epoch}: interrupted — snapshot saved, stopping")
+                break
 
             if epoch % check_preds_epoch == 0:
                 # ALL processes enter this branch: under multi-host meshes the
@@ -397,6 +435,11 @@ class Trainer:
                 print("Epochs without improving: ", epochs_without_improving)
 
         self.finalize_snapshots()
+        for sig, h in old_handlers.items():
+            signal.signal(sig, h)
+        self._stop_requested = False
+        if interrupted and verbose and is_main_process():
+            print("Training stopped by signal; snapshot is durable — rerun to resume")
         return state
 
     # ------------------------------------------------------------------ infer
