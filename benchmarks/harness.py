@@ -72,11 +72,14 @@ def bench_denoise(dtype_name: str = "bf16", use_pallas: bool = False, reps: int 
     x_T = jax.device_put(jax.random.normal(jax.random.PRNGKey(2), (BATCH, HR_SIZE, HR_SIZE, 3)), dev)
     cond = jax.device_put(jax.random.uniform(jax.random.PRNGKey(3), (BATCH, LR_SIZE, LR_SIZE, 3)), dev)
     jax.block_until_ready(sampler(variables, key, x_T, cond))
-    t0 = time.perf_counter()
+    # second warmup: the first executions of a fresh executable through the
+    # remote tunnel run measurably slower (same effect as bench_train)
+    jax.block_until_ready(sampler(variables, jax.random.fold_in(key, 99), x_T, cond))
+    dt = float("inf")
     for i in range(reps):
-        out = sampler(variables, jax.random.fold_in(key, i), x_T, cond)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
+        t0 = time.perf_counter()
+        jax.block_until_ready(sampler(variables, jax.random.fold_in(key, i), x_T, cond))
+        dt = min(dt, time.perf_counter() - t0)
     return {
         "unet_forwards_per_sec": BATCH * (T - 1) / dt,
         "images_per_sec": BATCH / dt,
@@ -147,11 +150,18 @@ def bench_train(dtype_name: str = "f32", batch: int = 16, steps: int = 20):
     import jax as _j
 
     _j.block_until_ready(loss)
-    t0 = time.perf_counter()
-    for _ in range(steps):
+    # the first ~10 post-compile steps run 3-5x slower through the remote
+    # tunnel (executable/buffer warm-up); time the steady state, best-of-3
+    for _ in range(8):
         state, loss = step(state, batch_data, trainer.next_key())
     _j.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / steps
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, loss = step(state, batch_data, trainer.next_key())
+        _j.block_until_ready(loss)
+        dt = min(dt, (time.perf_counter() - t0) / steps)
     return {
         "train_steps_per_sec": 1.0 / dt,
         "images_per_sec": batch / dt,
