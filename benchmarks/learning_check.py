@@ -154,15 +154,119 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--prepare", type=str, default=None, metavar="DIR")
     p.add_argument("--evaluate", type=str, default=None, metavar="DIR")
+    p.add_argument("--prepare_sar", type=str, default=None, metavar="DIR")
+    p.add_argument("--evaluate_sar", type=str, default=None, metavar="DIR")
     p.add_argument("--snapshot", type=str, default=None)
     p.add_argument("--ddim_steps", type=int, default=None)
     p.add_argument("--noise_steps", type=int, default=1500)
     args = p.parse_args()
     if args.prepare:
         prepare(args.prepare)
+    if args.prepare_sar:
+        prepare_sar(args.prepare_sar)
     if args.evaluate:
         assert args.snapshot, "--evaluate needs --snapshot"
         evaluate(args.evaluate, args.snapshot, args.ddim_steps, args.noise_steps)
+    if args.evaluate_sar:
+        assert args.snapshot, "--evaluate_sar needs --snapshot"
+        evaluate_sar(args.evaluate_sar, args.snapshot, args.ddim_steps, args.noise_steps)
+
+
+
+
+# --------------------------------------------------------------- SAR -> NDVI
+#
+# Same gate for the second task family: a deterministic nonlinear mapping
+# from 2-channel SAR to NDVI that a per-pixel LINEAR baseline cannot fit
+# (tanh of the channel difference plus a product term) — the conditional
+# diffusion model must beat least-squares linear regression to pass.
+
+SAR_SIZE = 64
+
+
+def _structure(rng: np.random.Generator, size: int) -> np.ndarray:
+    """One structured [0,1] field (blocky background + rectangles + lines)."""
+    return _draw_image(rng, size).astype(np.float32).mean(axis=2) / 255.0
+
+
+def _sar_pair(rng: np.random.Generator, size: int):
+    a, b = _structure(rng, size), _structure(rng, size)
+    ndvi = np.clip(0.5 + 0.5 * np.tanh(3.0 * (a - b)) + 0.3 * (a * b - 0.25), 0.0, 1.0)
+    sar = np.stack([a, b])            # (2, H, W) in [0, 1]
+    return sar, ndvi[None]            # ndvi (1, H, W)
+
+
+def prepare_sar(root: str, n_train: int = 600, n_val: int = 60, seed: int = 0) -> None:
+    """Write <root>/{train,valid}/{sar,opt}/*.npy in the reference layout
+    (values in [-1,1]; SarToNdviDataset rescales to [0,1])."""
+    rng = np.random.default_rng(seed)
+    for split, n in (("train", n_train), ("valid", n_val)):
+        for sub in ("sar", "opt"):
+            os.makedirs(os.path.join(root, split, sub), exist_ok=True)
+        for i in range(n):
+            sar, ndvi = _sar_pair(rng, SAR_SIZE)
+            np.save(os.path.join(root, split, "sar", f"p{i:04d}.npy"), sar * 2 - 1)
+            np.save(os.path.join(root, split, "opt", f"p{i:04d}.npy"), ndvi * 2 - 1)
+    erng = np.random.default_rng(seed + 10_000)
+    d = os.path.join(root, "eval_pairs")
+    os.makedirs(d, exist_ok=True)
+    for i in range(8):
+        sar, ndvi = _sar_pair(erng, SAR_SIZE)
+        np.save(os.path.join(d, f"sar_{i}.npy"), sar)
+        np.save(os.path.join(d, f"ndvi_{i}.npy"), ndvi)
+    print(f"SAR dataset at {root}: {n_train} train / {n_val} valid / 8 eval pairs")
+
+
+def evaluate_sar(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int = 1500):
+    import jax
+    import jax.numpy as jnp
+
+    from bench import _machine_scoped_cache
+
+    jax.config.update("jax_compilation_cache_dir", _machine_scoped_cache())
+
+    from diffusionremotesensing_tpu.diffusion import make_process
+    from diffusionremotesensing_tpu.io import load_snapshot
+    from diffusionremotesensing_tpu.models.unet import (
+        residual_attention_unet_sar_to_ndvi,
+    )
+    from diffusionremotesensing_tpu.utils import psnr, ssim
+
+    state, _ = load_snapshot(snapshot)
+    variables = {"params": state["params"], "batch_stats": state.get("batch_stats", {})}
+    model = residual_attention_unet_sar_to_ndvi(dtype=jnp.bfloat16, s2d=True)
+    proc = make_process(model, "cosine", noise_steps, SAR_SIZE)
+
+    d = os.path.join(root, "eval_pairs")
+    n = len([f for f in os.listdir(d) if f.startswith("sar_")])
+    sar = np.stack([np.load(os.path.join(d, f"sar_{i}.npy")) for i in range(n)])
+    gt = np.stack([np.load(os.path.join(d, f"ndvi_{i}.npy")) for i in range(n)])
+    sar_hwc = sar.transpose(0, 2, 3, 1).astype(np.float32)   # [0,1], (B,H,W,2)
+    gt_hwc = gt.transpose(0, 2, 3, 1).astype(np.float32)
+
+    sampler = proc.ddim_sampler(ddim_steps) if ddim_steps else proc.sampler()
+    key = jax.random.PRNGKey(5)
+    x_T = jax.random.normal(jax.random.fold_in(key, 0), (n, SAR_SIZE, SAR_SIZE, 1))
+    pred = sampler(variables, key, x_T, jnp.asarray(sar_hwc))
+    pred = np.clip(np.asarray(pred), 0.0, 1.0)
+
+    # per-pixel LINEAR baseline, fit on the eval pixels themselves (generous)
+    X = np.stack([sar_hwc[..., 0].ravel(), sar_hwc[..., 1].ravel(),
+                  np.ones(gt_hwc.size)], axis=1)
+    w, *_ = np.linalg.lstsq(X, gt_hwc.ravel(), rcond=None)
+    lin = np.clip((X @ w).reshape(gt_hwc.shape), 0.0, 1.0)
+
+    summary = {
+        "snapshot": snapshot,
+        "sampler": f"DDIM-{ddim_steps}" if ddim_steps else f"DDPM T={noise_steps}",
+        "sar_psnr_db": psnr(pred, gt_hwc, data_range=1.0),
+        "sar_ssim": ssim(pred, gt_hwc, data_range=1.0),
+        "linear_baseline_psnr_db": psnr(lin, gt_hwc, data_range=1.0),
+        "linear_baseline_ssim": ssim(lin, gt_hwc, data_range=1.0),
+    }
+    summary["beats_linear"] = summary["sar_psnr_db"] > summary["linear_baseline_psnr_db"]
+    print(json.dumps(summary, indent=2))
+    return summary
 
 
 if __name__ == "__main__":
