@@ -311,7 +311,9 @@ class Trainer:
         the 8-byte key rides along with the batch transfer."""
         if not self._key_buf:
             try:
-                cpu = jax.devices("cpu")[0]
+                # local_devices, not devices: in a multi-process job the
+                # global cpu device 0 is only addressable by process 0
+                cpu = jax.local_devices(backend="cpu")[0]
             except RuntimeError:
                 cpu = None
             if cpu is not None:
