@@ -380,8 +380,13 @@ class Trainer:
         def _on_signal(signum, frame):
             self._stop_requested = True
             if is_main_process():
-                print(f"signal {signum}: will snapshot and stop at the next "
-                      f"{'epoch' if multiproc else 'batch'} boundary")
+                # os.write, not print: the handler can interrupt an
+                # in-progress print holding the stdout buffer lock, and a
+                # reentrant print() raises, killing the run unsnapshotted
+                os.write(2, (
+                    f"signal {signum}: will snapshot and stop at the next "
+                    f"{'epoch' if multiproc else 'batch'} boundary\n"
+                ).encode())
 
         old_handlers = {}
         for sig in (signal.SIGTERM, signal.SIGINT):
@@ -394,73 +399,92 @@ class Trainer:
         epochs_without_improving = 0
         interrupted = False
 
-        for epoch in range(self.epochs_run, epochs):
-            if hasattr(train_loader, "set_epoch"):
-                train_loader.set_epoch(epoch)
+        def _stop_agreed() -> bool:
+            """Stop decision every rank agrees on. Multi-process: ranks may
+            receive the signal at different times (or only one may receive
+            it), so the process-LOCAL flags are combined with an any()
+            allgather that every rank enters at the same program point —
+            checking the local flag alone could send rank 0 into the
+            collective snapshot while rank 1 enters the next epoch's train
+            step, deadlocking both."""
+            if not multiproc:
+                return self._stop_requested
+            from jax.experimental import multihost_utils
 
-            t0 = time.time()
-            losses, nb = [], 0
-            for batch in train_loader:
-                if self._stop_requested and not multiproc:
+            flags = multihost_utils.process_allgather(
+                np.asarray(int(self._stop_requested), np.int32)
+            )
+            return bool(np.any(flags))
+
+        try:
+            for epoch in range(self.epochs_run, epochs):
+                if hasattr(train_loader, "set_epoch"):
+                    train_loader.set_epoch(epoch)
+
+                t0 = time.time()
+                losses, nb = [], 0
+                for batch in train_loader:
+                    if self._stop_requested and not multiproc:
+                        interrupted = True
+                        break
+                    batch = self._prep_batch(batch)
+                    state, loss = self._train_step(state, batch, self.next_key())
+                    # keep losses on-device: a float() here would block dispatch
+                    # of the next step and serialize host<->device every batch
+                    losses.append(loss)
+                    nb += 1
+                running = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+                sps = nb / max(time.time() - t0, 1e-9)
+                if verbose and is_main_process():
+                    print(f"Epoch {epoch}: Running Train ({self.loss_name}) {running:.6f}  [{sps:.2f} steps/s]")
+                self.metrics.log(epoch=epoch, train_loss=running, steps_per_sec=sps, step=int(state.step))
+
+                if _stop_agreed():
                     interrupted = True
-                    break
-                batch = self._prep_batch(batch)
-                state, loss = self._train_step(state, batch, self.next_key())
-                # keep losses on-device: a float() here would block dispatch
-                # of the next step and serialize host<->device every batch
-                losses.append(loss)
-                nb += 1
-            running = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
-            sps = nb / max(time.time() - t0, 1e-9)
-            if verbose and is_main_process():
-                print(f"Epoch {epoch}: Running Train ({self.loss_name}) {running:.6f}  [{sps:.2f} steps/s]")
-            self.metrics.log(epoch=epoch, train_loss=running, steps_per_sec=sps, step=int(state.step))
-
-            if self._stop_requested:
-                interrupted = True
-                self.save_snapshot(state, epoch)
-                if verbose and is_main_process():
-                    print(f"Epoch {epoch}: interrupted — snapshot saved, stopping")
-                break
-
-            if epoch % check_preds_epoch == 0:
-                # ALL processes enter this branch: under multi-host meshes the
-                # preview's jitted sampling is a global-mesh computation that
-                # every process must enqueue (rank-0-only would deadlock the
-                # collectives); file writes are rank-0-gated inside
-                # save_snapshot and the preview callbacks.
-                if val_loader is None:
                     self.save_snapshot(state, epoch)
-                if on_preview is not None:
-                    on_preview(state, epoch)
-
-            if val_loader is not None:
-                val_losses = []
-                for batch in val_loader:
-                    batch = self._prep_batch(batch, train=False)
-                    val_losses.append(self._val_step(state, batch, self.next_key()))
-                running_val = float(jnp.mean(jnp.stack(val_losses))) if val_losses else 0.0
-                if verbose and is_main_process():
-                    print(f"Epoch {epoch}: Running Val loss ({self.loss_name}) {running_val:.6f}")
-                self.metrics.log(epoch=epoch, val_loss=running_val)
-
-                if running_val < best_loss:
-                    best_loss = running_val
-                    epochs_without_improving = 0
-                    self.save_snapshot(state, epoch)
-                else:
-                    epochs_without_improving += 1
-
-                if epochs_without_improving >= patience:
-                    print("Early stopping! Training stopped")
+                    if verbose and is_main_process():
+                        print(f"Epoch {epoch}: interrupted — snapshot saved, stopping")
                     break
-            if verbose and is_main_process():
-                print("Epochs without improving: ", epochs_without_improving)
 
-        self.finalize_snapshots()
-        for sig, h in old_handlers.items():
-            signal.signal(sig, h)
-        self._stop_requested = False
+                if epoch % check_preds_epoch == 0:
+                    # ALL processes enter this branch: under multi-host meshes the
+                    # preview's jitted sampling is a global-mesh computation that
+                    # every process must enqueue (rank-0-only would deadlock the
+                    # collectives); file writes are rank-0-gated inside
+                    # save_snapshot and the preview callbacks.
+                    if val_loader is None:
+                        self.save_snapshot(state, epoch)
+                    if on_preview is not None:
+                        on_preview(state, epoch)
+
+                if val_loader is not None:
+                    val_losses = []
+                    for batch in val_loader:
+                        batch = self._prep_batch(batch, train=False)
+                        val_losses.append(self._val_step(state, batch, self.next_key()))
+                    running_val = float(jnp.mean(jnp.stack(val_losses))) if val_losses else 0.0
+                    if verbose and is_main_process():
+                        print(f"Epoch {epoch}: Running Val loss ({self.loss_name}) {running_val:.6f}")
+                    self.metrics.log(epoch=epoch, val_loss=running_val)
+
+                    if running_val < best_loss:
+                        best_loss = running_val
+                        epochs_without_improving = 0
+                        self.save_snapshot(state, epoch)
+                    else:
+                        epochs_without_improving += 1
+
+                    if epochs_without_improving >= patience:
+                        print("Early stopping! Training stopped")
+                        break
+                if verbose and is_main_process():
+                    print("Epochs without improving: ", epochs_without_improving)
+
+        finally:
+            self.finalize_snapshots()
+            for sig, h in old_handlers.items():
+                signal.signal(sig, h)
+            self._stop_requested = False
         if interrupted and verbose and is_main_process():
             print("Training stopped by signal; snapshot is durable — rerun to resume")
         return state

@@ -180,6 +180,39 @@ def main():
     trainer.finalize_snapshots()
     orbax_saved = os.path.isdir(orbax_path)
 
+    # asymmetric preemption: ONLY rank 0 has a pending stop request; the
+    # epoch-boundary allgather in Trainer.train must stop BOTH ranks after
+    # exactly one epoch (local-flag-only checks would deadlock rank 1 in the
+    # next epoch's collectives while rank 0 exits)
+    trainer.checkpoint_backend = "msgpack"
+    trainer.snapshot_path = os.path.join(outdir, f"snapshot_stop_proc{pid}.msgpack")
+    final_step_main = int(state.step)  # before the extra stop-train epochs
+
+    class StopInjector:
+        """Raises the trainer's stop flag on ONE rank during epoch 0 —
+        mimicking a SIGTERM delivered to only that rank mid-epoch (train()
+        clears the flag at entry, so pre-setting it wouldn't survive)."""
+
+        def __init__(self, inner):
+            self.inner = inner
+
+        def set_epoch(self, e):
+            if e == 0 and pid == 0:
+                trainer._stop_requested = True
+            self.inner.set_epoch(e)
+
+        def __iter__(self):
+            return iter(self.inner)
+
+        def __len__(self):
+            return len(self.inner)
+
+    state = trainer.train(
+        state, epochs=3, train_loader=StopInjector(train_loader),
+        check_preds_epoch=10**6, verbose=False,
+    )
+    stop_epoch_steps = int(state.step) - final_step_main
+
     # loader shard disjointness under the real process indices
     train_loader.set_epoch(0)
     my_idx = sorted(int(i) for i in train_loader._shard_indices())
@@ -192,10 +225,11 @@ def main():
                 "device_count": jax.device_count(),
                 "local_device_count": jax.local_device_count(),
                 "first_loss": first_loss,
-                "final_step": int(state.step),
+                "final_step": final_step_main,
                 "previews": previews,
                 "snapshot_written": os.path.exists(snap),
                 "orbax_saved": orbax_saved,
+                "stop_epoch_steps": stop_epoch_steps,
                 "shard_indices_epoch0": my_idx,
             },
             f,

@@ -146,6 +146,15 @@ def test_orbax_collective_save_completes_on_all_ranks(mp_results):
         assert mp_results[p]["orbax_saved"] is True
 
 
+def test_preemption_stop_is_agreed_across_ranks(mp_results):
+    """Only rank 0 had a pending stop request; the epoch-boundary allgather
+    must stop BOTH ranks after exactly one epoch (2 sharded batches) —
+    local-flag-only checks would deadlock the unflagged rank in the next
+    epoch's collectives."""
+    steps = [mp_results[p]["stop_epoch_steps"] for p in range(NPROC)]
+    assert steps[0] == steps[1] == 2, steps
+
+
 def test_loader_shards_partition_dataset(mp_results):
     a = mp_results[0]["shard_indices_epoch0"]
     b = mp_results[1]["shard_indices_epoch0"]
