@@ -11,7 +11,8 @@ and reports PSNR/SSIM vs the ground-truth HR, side by side with a bicubic
 upsampling baseline. A trained diffusion SR model must beat bicubic on the
 sharp structure it learned; this is the pass/fail learning gate.
 
-Usage:
+Usage (superres gate; SAR->NDVI gate mirrors it with --prepare_sar /
+--evaluate_sar and a per-pixel linear-regression baseline):
     python -m benchmarks.learning_check --prepare <dir>      # write dataset
     python -m benchmarks.learning_check --evaluate <dir> \
         --snapshot models_run/<name>/weights/snapshot.pt [--ddim_steps 100]
