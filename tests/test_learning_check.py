@@ -1,0 +1,44 @@
+"""Pure-function tests for the learning/quality-gate harness
+(benchmarks/learning_check.py) — the training/eval flows themselves run on
+the TPU outside the suite; results are recorded in benchmarks/NOTES.md."""
+
+import numpy as np
+
+from benchmarks.learning_check import (
+    _draw_image,
+    _degrade_lr,
+    _sar_pair,
+    SAR_SIZE,
+)
+
+
+def test_draw_image_is_deterministic_and_structured():
+    a = _draw_image(np.random.default_rng(7), 64)
+    b = _draw_image(np.random.default_rng(7), 64)
+    assert a.shape == (64, 64, 3) and a.dtype == np.uint8
+    np.testing.assert_array_equal(a, b)
+    # sharp structure exists: plenty of large horizontal gradients
+    g = np.abs(np.diff(a.astype(np.int32), axis=1)).max(axis=2)
+    assert (g > 64).mean() > 0.01
+
+
+def test_degrade_lr_shape_and_range():
+    hr = _draw_image(np.random.default_rng(0), 64)
+    lr = _degrade_lr(hr)
+    assert lr.shape == (32, 32, 3)
+    assert 0.0 <= lr.min() and lr.max() <= 1.0
+
+
+def test_sar_pair_is_nonlinear_in_the_channels():
+    """The NDVI target must NOT be fittable by per-pixel linear regression —
+    otherwise the gate's linear baseline would trivially tie the model."""
+    rng = np.random.default_rng(3)
+    sars, ndvis = zip(*(_sar_pair(rng, SAR_SIZE) for _ in range(4)))
+    sar = np.concatenate([s.reshape(2, -1).T for s in sars])     # (N, 2)
+    ndvi = np.concatenate([n.ravel() for n in ndvis])
+    assert ndvi.min() >= 0.0 and ndvi.max() <= 1.0
+    X = np.concatenate([sar, np.ones((len(sar), 1))], axis=1)
+    w, *_ = np.linalg.lstsq(X, ndvi, rcond=None)
+    resid = X @ w - ndvi
+    rms = float(np.sqrt(np.mean(resid**2)))
+    assert rms > 0.02, f"target is ~linear in SAR (rms {rms}); gate is trivial"
