@@ -156,6 +156,8 @@ def main():
     p.add_argument("--prepare", type=str, default=None, metavar="DIR")
     p.add_argument("--evaluate", type=str, default=None, metavar="DIR")
     p.add_argument("--prepare_sar", type=str, default=None, metavar="DIR")
+    p.add_argument("--prepare_gen", type=str, default=None, metavar="DIR")
+    p.add_argument("--evaluate_gen", action="store_true")
     p.add_argument("--evaluate_sar", type=str, default=None, metavar="DIR")
     p.add_argument("--snapshot", type=str, default=None)
     p.add_argument("--ddim_steps", type=int, default=None)
@@ -171,6 +173,11 @@ def main():
     if args.evaluate_sar:
         assert args.snapshot, "--evaluate_sar needs --snapshot"
         evaluate_sar(args.evaluate_sar, args.snapshot, args.ddim_steps, args.noise_steps)
+    if args.prepare_gen:
+        prepare_gen(args.prepare_gen)
+    if args.evaluate_gen:
+        assert args.snapshot, "--evaluate_gen needs --snapshot"
+        evaluate_gen(args.snapshot, noise_steps=args.noise_steps)
 
 
 
@@ -266,6 +273,112 @@ def evaluate_sar(root: str, snapshot: str, ddim_steps: int | None, noise_steps: 
         "linear_baseline_ssim": ssim(lin, gt_hwc, data_range=1.0),
     }
     summary["beats_linear"] = summary["sar_psnr_db"] > summary["linear_baseline_psnr_db"]
+    print(json.dumps(summary, indent=2))
+    return summary
+
+
+
+
+# ------------------------------------------------------------- generation
+#
+# Quantified gate for the third task family: four classes with FIXED spatial
+# patterns (horizontal / vertical stripes, checkerboard, diagonal) and
+# random per-image colors. CFG-sampled images are classified by absolute
+# normalized correlation of their grayscale with the class patterns
+# (|corr| because the two colors may invert contrast); the gate is
+# classification accuracy far above the 25% chance level.
+
+GEN_SIZE = 32
+GEN_CLASSES = ["checker", "diag", "stripes_h", "stripes_v"]  # sorted (CLI order)
+
+
+def _class_pattern(name: str, size: int = GEN_SIZE) -> np.ndarray:
+    y, x = np.mgrid[0:size, 0:size]
+    if name == "stripes_h":
+        return ((y // 4) % 2).astype(np.float32)
+    if name == "stripes_v":
+        return ((x // 4) % 2).astype(np.float32)
+    if name == "checker":
+        return (((y // 4) + (x // 4)) % 2).astype(np.float32)
+    return (((x + y) // 6) % 2).astype(np.float32)  # diag
+
+
+def _gen_image(rng: np.random.Generator, name: str) -> np.ndarray:
+    p = _class_pattern(name)[:, :, None]
+    c1, c2 = rng.random(3).astype(np.float32), rng.random(3).astype(np.float32)
+    while np.abs(c1 - c2).mean() < 0.25:  # keep the pattern visible
+        c2 = rng.random(3).astype(np.float32)
+    img = p * c1 + (1 - p) * c2 + 0.03 * rng.standard_normal((GEN_SIZE, GEN_SIZE, 3))
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+
+def prepare_gen(root: str, n_per_class: int = 200, seed: int = 0) -> None:
+    """ImageFolder layout (class-per-subfolder) for the generation CLI."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    for name in GEN_CLASSES:
+        d = os.path.join(root, name)
+        os.makedirs(d, exist_ok=True)
+        for i in range(n_per_class):
+            Image.fromarray(_gen_image(rng, name)).save(os.path.join(d, f"g{i:04d}.png"))
+    print(f"generation dataset at {root}: {n_per_class} x {len(GEN_CLASSES)} classes")
+
+
+def classify_by_pattern(imgs: np.ndarray) -> np.ndarray:
+    """(B, H, W, 3) [0,1] -> predicted class index by |normalized corr| of the
+    grayscale with each class pattern."""
+    pats = np.stack([_class_pattern(c) for c in GEN_CLASSES])      # (4, H, W)
+    pats = pats - pats.mean(axis=(1, 2), keepdims=True)
+    pats /= np.linalg.norm(pats, axis=(1, 2), keepdims=True) + 1e-9
+    g = imgs.mean(axis=3)
+    g = g - g.mean(axis=(1, 2), keepdims=True)
+    g /= np.linalg.norm(g, axis=(1, 2), keepdims=True) + 1e-9
+    scores = np.abs(np.einsum("bhw,chw->bc", g, pats))
+    return scores.argmax(axis=1)
+
+
+def evaluate_gen(snapshot: str, n_per_class: int = 16, noise_steps: int = 1500,
+                 cfg_scale: float = 3.0):
+    import jax
+    import jax.numpy as jnp
+
+    from bench import _machine_scoped_cache
+
+    jax.config.update("jax_compilation_cache_dir", _machine_scoped_cache())
+
+    from diffusionremotesensing_tpu.diffusion import make_process
+    from diffusionremotesensing_tpu.io import load_snapshot
+    from diffusionremotesensing_tpu.models.unet import (
+        residual_attention_unet_generation,
+    )
+
+    state, _ = load_snapshot(snapshot)
+    variables = {"params": state["params"], "batch_stats": state.get("batch_stats", {})}
+    model = residual_attention_unet_generation(
+        num_classes=len(GEN_CLASSES), dtype=jnp.bfloat16, s2d=True
+    )
+    proc = make_process(model, "cosine", noise_steps, GEN_SIZE)
+    labels = np.repeat(np.arange(len(GEN_CLASSES)), n_per_class).astype(np.int32)
+    out = proc.sample(
+        variables, jax.random.PRNGKey(11), len(labels),
+        cond=jnp.asarray(labels), cfg_scale=cfg_scale,
+    )
+    imgs = np.clip(np.asarray(out), 0.0, 1.0)
+    pred = classify_by_pattern(imgs)
+    acc = float((pred == labels).mean())
+    per_class = {
+        GEN_CLASSES[c]: float((pred[labels == c] == c).mean())
+        for c in range(len(GEN_CLASSES))
+    }
+    summary = {
+        "snapshot": snapshot,
+        "sampler": f"DDPM T={noise_steps}, CFG {cfg_scale}",
+        "accuracy": acc,
+        "chance": 1.0 / len(GEN_CLASSES),
+        "per_class_accuracy": per_class,
+        "passes": acc >= 0.9,
+    }
     print(json.dumps(summary, indent=2))
     return summary
 
