@@ -42,3 +42,19 @@ def test_sar_pair_is_nonlinear_in_the_channels():
     resid = X @ w - ndvi
     rms = float(np.sqrt(np.mean(resid**2)))
     assert rms > 0.02, f"target is ~linear in SAR (rms {rms}); gate is trivial"
+
+
+def test_pattern_classifier_is_reliable_on_real_class_images():
+    """The generation gate's classifier must be ~perfect on actual dataset
+    images — otherwise gate accuracy would measure the classifier, not the
+    model."""
+    from benchmarks.learning_check import GEN_CLASSES, _gen_image, classify_by_pattern
+
+    rng = np.random.default_rng(5)
+    imgs, labels = [], []
+    for c, name in enumerate(GEN_CLASSES):
+        for _ in range(8):
+            imgs.append(_gen_image(rng, name).astype(np.float32) / 255.0)
+            labels.append(c)
+    pred = classify_by_pattern(np.stack(imgs))
+    assert (pred == np.asarray(labels)).mean() == 1.0
