@@ -93,24 +93,30 @@ def _degrade_lr(hr_u8: np.ndarray) -> np.ndarray:
     return np.asarray(lr, np.float32) / 255.0
 
 
-def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int = 1500):
+def _load_eval_variables(snapshot: str):
+    """Shared evaluate* setup: TPU compile cache + snapshot -> flax variables."""
     import jax
-    import jax.numpy as jnp
-    from PIL import Image
 
     from bench import _machine_scoped_cache
 
     jax.config.update("jax_compilation_cache_dir", _machine_scoped_cache())
 
+    state, _ = load_snapshot(snapshot)
+    return {"params": state["params"], "batch_stats": state.get("batch_stats", {})}
+
+
+def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int = 1500):
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
     from diffusionremotesensing_tpu.aggregation import AggregationSampler
     from diffusionremotesensing_tpu.diffusion import make_process
-    from diffusionremotesensing_tpu.io import load_snapshot
     from diffusionremotesensing_tpu.models.unet import residual_attention_unet_superres
     from diffusionremotesensing_tpu.ops.resize import upsample_bicubic
     from diffusionremotesensing_tpu.utils import psnr, ssim
 
-    state, _ = load_snapshot(snapshot)
-    variables = {"params": state["params"], "batch_stats": state.get("batch_stats", {})}
+    variables = _load_eval_variables(snapshot)
     model = residual_attention_unet_superres(
         magnification_factor=MAG, dtype=jnp.bfloat16, s2d=True
     )
@@ -149,37 +155,6 @@ def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int 
     summary["beats_bicubic"] = summary["mean_sr_psnr_db"] > summary["mean_bicubic_psnr_db"]
     print(json.dumps(summary, indent=2))
     return summary
-
-
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--prepare", type=str, default=None, metavar="DIR")
-    p.add_argument("--evaluate", type=str, default=None, metavar="DIR")
-    p.add_argument("--prepare_sar", type=str, default=None, metavar="DIR")
-    p.add_argument("--prepare_gen", type=str, default=None, metavar="DIR")
-    p.add_argument("--evaluate_gen", action="store_true")
-    p.add_argument("--evaluate_sar", type=str, default=None, metavar="DIR")
-    p.add_argument("--snapshot", type=str, default=None)
-    p.add_argument("--ddim_steps", type=int, default=None)
-    p.add_argument("--noise_steps", type=int, default=1500)
-    args = p.parse_args()
-    if args.prepare:
-        prepare(args.prepare)
-    if args.prepare_sar:
-        prepare_sar(args.prepare_sar)
-    if args.evaluate:
-        assert args.snapshot, "--evaluate needs --snapshot"
-        evaluate(args.evaluate, args.snapshot, args.ddim_steps, args.noise_steps)
-    if args.evaluate_sar:
-        assert args.snapshot, "--evaluate_sar needs --snapshot"
-        evaluate_sar(args.evaluate_sar, args.snapshot, args.ddim_steps, args.noise_steps)
-    if args.prepare_gen:
-        prepare_gen(args.prepare_gen)
-    if args.evaluate_gen:
-        assert args.snapshot, "--evaluate_gen needs --snapshot"
-        evaluate_gen(args.snapshot, noise_steps=args.noise_steps)
-
-
 
 
 # --------------------------------------------------------------- SAR -> NDVI
@@ -229,19 +204,13 @@ def evaluate_sar(root: str, snapshot: str, ddim_steps: int | None, noise_steps: 
     import jax
     import jax.numpy as jnp
 
-    from bench import _machine_scoped_cache
-
-    jax.config.update("jax_compilation_cache_dir", _machine_scoped_cache())
-
     from diffusionremotesensing_tpu.diffusion import make_process
-    from diffusionremotesensing_tpu.io import load_snapshot
     from diffusionremotesensing_tpu.models.unet import (
         residual_attention_unet_sar_to_ndvi,
     )
     from diffusionremotesensing_tpu.utils import psnr, ssim
 
-    state, _ = load_snapshot(snapshot)
-    variables = {"params": state["params"], "batch_stats": state.get("batch_stats", {})}
+    variables = _load_eval_variables(snapshot)
     model = residual_attention_unet_sar_to_ndvi(dtype=jnp.bfloat16, s2d=True)
     proc = make_process(model, "cosine", noise_steps, SAR_SIZE)
 
@@ -343,18 +312,13 @@ def evaluate_gen(snapshot: str, n_per_class: int = 16, noise_steps: int = 1500,
     import jax
     import jax.numpy as jnp
 
-    from bench import _machine_scoped_cache
-
-    jax.config.update("jax_compilation_cache_dir", _machine_scoped_cache())
-
     from diffusionremotesensing_tpu.diffusion import make_process
     from diffusionremotesensing_tpu.io import load_snapshot
     from diffusionremotesensing_tpu.models.unet import (
         residual_attention_unet_generation,
     )
 
-    state, _ = load_snapshot(snapshot)
-    variables = {"params": state["params"], "batch_stats": state.get("batch_stats", {})}
+    variables = _load_eval_variables(snapshot)
     model = residual_attention_unet_generation(
         num_classes=len(GEN_CLASSES), dtype=jnp.bfloat16, s2d=True
     )
@@ -381,6 +345,35 @@ def evaluate_gen(snapshot: str, n_per_class: int = 16, noise_steps: int = 1500,
     }
     print(json.dumps(summary, indent=2))
     return summary
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--prepare", type=str, default=None, metavar="DIR")
+    p.add_argument("--evaluate", type=str, default=None, metavar="DIR")
+    p.add_argument("--prepare_sar", type=str, default=None, metavar="DIR")
+    p.add_argument("--prepare_gen", type=str, default=None, metavar="DIR")
+    p.add_argument("--evaluate_gen", action="store_true")
+    p.add_argument("--evaluate_sar", type=str, default=None, metavar="DIR")
+    p.add_argument("--snapshot", type=str, default=None)
+    p.add_argument("--ddim_steps", type=int, default=None)
+    p.add_argument("--noise_steps", type=int, default=1500)
+    args = p.parse_args()
+    if args.prepare:
+        prepare(args.prepare)
+    if args.prepare_sar:
+        prepare_sar(args.prepare_sar)
+    if args.evaluate:
+        assert args.snapshot, "--evaluate needs --snapshot"
+        evaluate(args.evaluate, args.snapshot, args.ddim_steps, args.noise_steps)
+    if args.evaluate_sar:
+        assert args.snapshot, "--evaluate_sar needs --snapshot"
+        evaluate_sar(args.evaluate_sar, args.snapshot, args.ddim_steps, args.noise_steps)
+    if args.prepare_gen:
+        prepare_gen(args.prepare_gen)
+    if args.evaluate_gen:
+        assert args.snapshot, "--evaluate_gen needs --snapshot"
+        evaluate_gen(args.snapshot, noise_steps=args.noise_steps)
 
 
 if __name__ == "__main__":

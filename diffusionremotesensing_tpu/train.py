@@ -196,21 +196,19 @@ class Trainer:
         sync barrier. Only the msgpack write is rank-0-gated."""
         if not self.snapshot_path:
             return
-        if self.checkpoint_backend == "orbax":
-            params = state.ema_params if self.ema_smoothing else state.params
-            model_state = {"params": jax.device_get(params), "batch_stats": jax.device_get(state.batch_stats)}
+        orbax = self.checkpoint_backend == "orbax"
+        if not orbax and not is_main_process():
+            return  # msgpack: non-main ranks skip the device_get entirely
+        params = state.ema_params if self.ema_smoothing else state.params
+        model_state = {"params": jax.device_get(params), "batch_stats": jax.device_get(state.batch_stats)}
+        if orbax:
             if self._orbax is None:
                 self._orbax = dio.OrbaxSnapshotter(self.snapshot_path)
             self._orbax.save(model_state, epoch)
-            if is_main_process():
-                print(f"Epoch {epoch} | Training snapshot saved at {self.snapshot_path}")
-            return
-        if not is_main_process():
-            return
-        params = state.ema_params if self.ema_smoothing else state.params
-        model_state = {"params": jax.device_get(params), "batch_stats": jax.device_get(state.batch_stats)}
-        dio.save_snapshot(self.snapshot_path, model_state, epoch)
-        print(f"Epoch {epoch} | Training snapshot saved at {self.snapshot_path}")
+        else:
+            dio.save_snapshot(self.snapshot_path, model_state, epoch)
+        if is_main_process():
+            print(f"Epoch {epoch} | Training snapshot saved at {self.snapshot_path}")
 
     def finalize_snapshots(self) -> None:
         """Block until any in-flight async (orbax) snapshot write is durable.
