@@ -28,7 +28,10 @@ import time
 
 import numpy as np
 
-LR_SIZE, MAG, T, BATCH = 64, 2, 200, 16
+# BATCH matches the adopted s2d aggregation optimum (bench.py BATCH=48,
+# benchmarks/NOTES.md round-2 sweep) so the harness and the driver bench
+# report the same configuration; override with --batch.
+LR_SIZE, MAG, T, BATCH = 64, 2, 200, 48
 HR_SIZE = LR_SIZE * MAG
 
 
@@ -169,6 +172,26 @@ def bench_train(dtype_name: str = "f32", batch: int = 16, steps: int = 20):
     }
 
 
+def bench_northstar_tile():
+    """The driver bench's north-star workload (256px LR tile x2, T=1500),
+    via bench.bench_tpu itself so HARNESS_r0N.json and BENCH_r0N.json can
+    never disagree about the framework's speed (round-2 VERDICT weak #7)."""
+    import bench
+
+    tile_s, tile_ddim_s, kind = bench.bench_tpu()
+    n_patches = bench._patch_count()
+    return {
+        "tile_seconds_t1500": tile_s,
+        "tile_seconds_ddim100": tile_ddim_s,
+        "patches_per_sec": n_patches / tile_s,
+        "unet_forwards_per_sec": n_patches * (bench.T - 1) / tile_s,
+        "config": (
+            f"LR tile {bench.TILE} patch {bench.PATCH} stride {bench.STRIDE} "
+            f"x{bench.MAG} T{bench.T} B{bench.BATCH} bf16 s2d ({kind})"
+        ),
+    }
+
+
 def bench_torch_baseline(reps: int = 10):
     if not os.path.isdir("/root/reference"):
         return None
@@ -249,7 +272,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true", help="skip aggregation bench")
     parser.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    parser.add_argument("--batch", type=int, default=BATCH)
     args = parser.parse_args()
+    globals()["BATCH"] = args.batch
 
     import jax
 
@@ -271,6 +296,7 @@ def main():
     report["denoise"] = bench_denoise(args.dtype)
     if not args.quick:
         report["aggregation"] = bench_aggregation(args.dtype)
+        report["northstar_tile"] = bench_northstar_tile()
         report["train"] = bench_train()
     report["torch_baseline"] = bench_torch_baseline()
     report["quality"] = bench_quality()

@@ -101,6 +101,8 @@ def _load_eval_variables(snapshot: str):
 
     jax.config.update("jax_compilation_cache_dir", _machine_scoped_cache())
 
+    from diffusionremotesensing_tpu.io import load_snapshot
+
     state, _ = load_snapshot(snapshot)
     return {"params": state["params"], "batch_stats": state.get("batch_stats", {})}
 
@@ -313,7 +315,6 @@ def evaluate_gen(snapshot: str, n_per_class: int = 16, noise_steps: int = 1500,
     import jax.numpy as jnp
 
     from diffusionremotesensing_tpu.diffusion import make_process
-    from diffusionremotesensing_tpu.io import load_snapshot
     from diffusionremotesensing_tpu.models.unet import (
         residual_attention_unet_generation,
     )

@@ -124,10 +124,11 @@ class DataLoader:
                 batch = {
                     k: np.concatenate([v, v[idx]], axis=0) for k, v in batch.items()
                 }
-                # pad rows are repeats of real samples; the loss slightly
-                # over-weights them on the final partial batch (documented,
-                # matches distributed-sampler-style padding). pad_mask lets
-                # consumers that care mask them out.
+                # pad rows are repeats of real samples; the trainer's loss
+                # excludes them via this mask (losses._reduce), so the final
+                # partial batch is not over-weighted. Pad rows still enter
+                # train-mode BatchNorm batch statistics (as they do under the
+                # reference's DistributedSampler wrap padding).
                 batch["pad_mask"] = np.concatenate(
                     [np.ones(n, np.float32), np.zeros(rem, np.float32)]
                 )

@@ -26,21 +26,33 @@ from diffusionremotesensing_tpu.ops.resize import resize_bicubic
 __all__ = ["make_loss_fn", "VGG19Features", "vgg_perceptual_loss_fn", "load_vgg19_params"]
 
 
-def mse(pred, target):
-    return jnp.mean((pred - target) ** 2)
+def _reduce(per_elem, weights):
+    """Plain mean, or a per-sample weighted mean when ``weights`` (B,) is
+    given. Used to exclude the wrap-padded rows a DataLoader with
+    ``pad_to_multiple`` appends to the final partial batch (pad_mask is 1 for
+    real rows, 0 for pads), so that batch's loss/grads match the unpadded
+    equivalent instead of over-weighting the repeated samples."""
+    if weights is None:
+        return jnp.mean(per_elem)
+    per_sample = jnp.mean(per_elem.reshape(per_elem.shape[0], -1), axis=1)
+    return jnp.sum(per_sample * weights) / jnp.sum(weights)
 
 
-def mae(pred, target):
-    return jnp.mean(jnp.abs(pred - target))
+def mse(pred, target, weights=None):
+    return _reduce((pred - target) ** 2, weights)
 
 
-def huber(pred, target, delta: float = 1.0):
+def mae(pred, target, weights=None):
+    return _reduce(jnp.abs(pred - target), weights)
+
+
+def huber(pred, target, delta: float = 1.0, weights=None):
     """torch nn.HuberLoss(delta=1.0) semantics."""
     err = pred - target
     abs_err = jnp.abs(err)
     quad = 0.5 * err**2
     lin = delta * (abs_err - 0.5 * delta)
-    return jnp.mean(jnp.where(abs_err <= delta, quad, lin))
+    return _reduce(jnp.where(abs_err <= delta, quad, lin), weights)
 
 
 # torchvision vgg19.features layer plan: channel width per conv block
@@ -120,10 +132,10 @@ def vgg_perceptual_loss_fn(vgg_variables=None, seed: int = 0) -> Callable:
             img = resize_bicubic(img, 224, 224)
         return (img - mean) / std
 
-    def loss(pred, target):
+    def loss(pred, target, weights=None):
         fp = model.apply(vgg_variables, preprocess(pred))
         ft = model.apply(vgg_variables, preprocess(target))
-        return jnp.mean((fp - ft) ** 2)
+        return _reduce((fp - ft) ** 2, weights)
 
     return loss
 
@@ -139,9 +151,9 @@ def make_loss_fn(name: str, vgg_variables=None) -> Callable:
     if name == "MSE+Perceptual_noise":
         vgg = vgg_perceptual_loss_fn(vgg_variables)
 
-        def combined(pred, target):
+        def combined(pred, target, weights=None):
             # CombinedLoss(weight_first=0.3): 0.3*MSE + 0.7*perceptual
-            return 0.3 * mse(pred, target) + 0.7 * vgg(pred, target)
+            return 0.3 * mse(pred, target, weights) + 0.7 * vgg(pred, target, weights)
 
         return combined
     raise ValueError("The Loss must be either MSE or MAE or Huber or MSE+Perceptual_noise")

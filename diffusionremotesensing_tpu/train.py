@@ -227,6 +227,7 @@ class Trainer:
             x0 = batch["x"]
             cond = batch.get("cond")
             cond_mask = batch.get("cond_mask")
+            pad_mask = batch.get("pad_mask")  # excludes wrap-padded rows (loader.py)
             k_t, k_noise = jax.random.split(key)
             t = sample_timesteps(k_t, x0.shape[0], T)
             x_t, noise = q_sample(schedule, x0, t, k_noise)
@@ -250,7 +251,7 @@ class Trainer:
                 if "s2d_stats" in updates:
                     sown = updates["s2d_stats"]["updates"][0]
                     new_stats = _merge_nested(new_stats, sown)
-                return loss_fn(out, noise), new_stats
+                return loss_fn(out, noise, weights=pad_mask), new_stats
 
             (loss, new_stats), grads = jax.value_and_grad(loss_of, has_aux=True)(state.params)
             updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
@@ -294,7 +295,7 @@ class Trainer:
                 batch.get("cond_mask"),
                 train=False,
             )
-            return loss_fn(out, noise)
+            return loss_fn(out, noise, weights=batch.get("pad_mask"))
 
         return jax.jit(val_step)
 
@@ -421,9 +422,11 @@ class Trainer:
 
                 t0 = time.time()
                 losses, nb = [], 0
+                epoch_cut_short = False
                 for batch in train_loader:
                     if self._stop_requested and not multiproc:
                         interrupted = True
+                        epoch_cut_short = True
                         break
                     batch = self._prep_batch(batch)
                     state, loss = self._train_step(state, batch, self.next_key())
@@ -434,8 +437,12 @@ class Trainer:
                 running = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
                 sps = nb / max(time.time() - t0, 1e-9)
                 if verbose and is_main_process():
-                    print(f"Epoch {epoch}: Running Train ({self.loss_name}) {running:.6f}  [{sps:.2f} steps/s]")
-                self.metrics.log(epoch=epoch, train_loss=running, steps_per_sec=sps, step=int(state.step))
+                    tag = " [partial epoch]" if epoch_cut_short else ""
+                    print(f"Epoch {epoch}: Running Train ({self.loss_name}) {running:.6f}  [{sps:.2f} steps/s]{tag}")
+                # a signal mid-epoch leaves a mean over fewer batches: tag the
+                # entry so metrics consumers don't read it as a full epoch
+                extra = {"partial": True} if epoch_cut_short else {}
+                self.metrics.log(epoch=epoch, train_loss=running, steps_per_sec=sps, step=int(state.step), **extra)
 
                 if _stop_agreed():
                     interrupted = True

@@ -62,12 +62,17 @@ def video_maker(frames: Sequence[np.ndarray], path: str, fps: int = 100) -> None
 
 
 def gif_maker(frames: Sequence[np.ndarray], path: str, fps: int = 50) -> None:
-    """Write frames as an animated GIF (reference gif_maker, utils.py:344-382)."""
+    """Write frames as an animated GIF (reference gif_maker, utils.py:344-382).
+
+    imageio v3's pillow plugin dropped the ``fps=`` keyword (it warned and
+    IGNORED it, silently rendering at the default frame duration), so the
+    rate is passed as a per-frame ``duration`` in milliseconds, with
+    ``loop=0`` matching the reference GIFs' infinite loop."""
     import imageio
 
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     imgs = [_frame_to_uint8(f) for f in frames]
-    imageio.mimsave(path, imgs, fps=fps)
+    imageio.mimsave(path, imgs, duration=1000.0 / fps, loop=0)
 
 
 def convert_png_to_jpg(folder_path: str) -> None:

@@ -44,6 +44,30 @@ def test_sar_pair_is_nonlinear_in_the_channels():
     assert rms > 0.02, f"target is ~linear in SAR (rms {rms}); gate is trivial"
 
 
+def test_load_eval_variables_smoke(tmp_path):
+    """The shared evaluate* snapshot loader must actually run — a missing
+    import here shipped once (ADVICE r2) and broke all three eval gates."""
+    import jax.numpy as jnp
+
+    from benchmarks.learning_check import _load_eval_variables
+    from diffusionremotesensing_tpu.io import save_snapshot
+
+    state = {
+        "params": {"dense": {"kernel": jnp.ones((2, 3))}},
+        "batch_stats": {"bn": {"mean": jnp.zeros((3,))}},
+    }
+    path = str(tmp_path / "snapshot.msgpack")
+    save_snapshot(path, state, epochs_run=4)
+    variables = _load_eval_variables(path)
+    assert set(variables) == {"params", "batch_stats"}
+    np.testing.assert_array_equal(
+        np.asarray(variables["params"]["dense"]["kernel"]), np.ones((2, 3))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(variables["batch_stats"]["bn"]["mean"]), np.zeros((3,))
+    )
+
+
 def test_pattern_classifier_is_reliable_on_real_class_images():
     """The generation gate's classifier must be ~perfect on actual dataset
     images — otherwise gate accuracy would measure the classifier, not the

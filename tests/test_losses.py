@@ -39,6 +39,34 @@ def test_huber_matches_torch():
     )
 
 
+def test_pad_mask_weighted_loss_matches_unpadded():
+    """With pad_mask weights (1 real / 0 pad), every loss and its gradient
+    w.r.t. the REAL predictions must equal the unpadded computation exactly,
+    and pad rows must get zero gradient — the loader's wrap-padded final
+    batch (data/loader.py pad_to_multiple) must not over-weight repeats."""
+    rng = np.random.default_rng(7)
+    n_real, n_pad = 3, 5  # uneven: pads are wrap-repeats of the 3 real rows
+    pred = rng.standard_normal((n_real, 8, 8, 3)).astype(np.float32)
+    tgt = rng.standard_normal((n_real, 8, 8, 3)).astype(np.float32)
+    idx = np.arange(n_pad) % n_real
+    pred_p = np.concatenate([pred, pred[idx]])
+    tgt_p = np.concatenate([tgt, tgt[idx]])
+    w = np.concatenate([np.ones(n_real, np.float32), np.zeros(n_pad, np.float32)])
+
+    for loss in (mse, mae, huber, vgg_perceptual_loss_fn(seed=0)):
+        ref, g_ref = jax.value_and_grad(lambda p: loss(p, jnp.asarray(tgt)))(
+            jnp.asarray(pred)
+        )
+        got, g_got = jax.value_and_grad(
+            lambda p: loss(p, jnp.asarray(tgt_p), weights=jnp.asarray(w))
+        )(jnp.asarray(pred_p))
+        np.testing.assert_allclose(float(got), float(ref), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(g_got[:n_real]), np.asarray(g_ref), rtol=1e-5, atol=1e-7
+        )
+        np.testing.assert_array_equal(np.asarray(g_got[n_real:]), 0.0)
+
+
 def test_make_loss_fn_selection():
     assert make_loss_fn("MSE") is mse
     assert make_loss_fn("MAE") is mae

@@ -125,6 +125,62 @@ def test_validation_early_stopping(tmp_path):
     assert os.path.exists(trainer.snapshot_path)
 
 
+def test_padded_batch_loss_and_grads_match_unpadded(tmp_path):
+    """A final batch wrap-padded by a WHOLE replication (4 real rows -> 8)
+    must yield the identical loss and parameter gradients as the unpadded
+    4-row batch: duplication preserves train-mode BN batch statistics, and
+    pad_mask excludes the pad rows from the loss (losses._reduce)."""
+    trainer, state = _make_trainer(str(tmp_path))
+    model, schedule = trainer.model, trainer.schedule
+    from diffusionremotesensing_tpu.diffusion import q_sample
+
+    rng = np.random.default_rng(3)
+    x0 = rng.random((4, 16, 16, 3)).astype(np.float32)
+    cond = np.arange(4, dtype=np.int32) % 2
+    t = jnp.asarray([3, 7, 11, 15])
+    x_t, noise = q_sample(schedule, jnp.asarray(x0), t, jax.random.PRNGKey(5))
+
+    def loss_of(params, x_t, t, cond, noise, pad_mask):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            x_t, t, cond, None, train=True, mutable=["batch_stats"],
+        )
+        return trainer.loss_fn(out, noise, weights=pad_mask)
+
+    ref, g_ref = jax.value_and_grad(loss_of)(
+        state.params, x_t, t, cond, noise, None
+    )
+    dup = lambda a: jnp.concatenate([a, a], axis=0)
+    mask = jnp.concatenate([jnp.ones(4), jnp.zeros(4)])
+    got, g_got = jax.value_and_grad(loss_of)(
+        state.params, dup(x_t), dup(t), dup(cond), dup(noise), mask
+    )
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_loader_pad_mask_flows_through_train_step(tmp_path):
+    """End-to-end: a DataLoader final partial batch with pad_to_multiple
+    attaches pad_mask and the jitted train step consumes it (no crash, finite
+    loss, and the loss differs from the unmasked over-weighted value)."""
+    trainer, state = _make_trainer(str(tmp_path))
+    ds = SyntheticGenDataset(n=11)  # 11 % 8 = 3-row final batch, padded to 8
+    loader = DataLoader(ds, batch_size=8, shuffle=False, pad_to_multiple=8)
+    batches = list(loader)
+    assert "pad_mask" not in batches[0] and "pad_mask" in batches[1]
+    step = trainer._build_train_step()
+    key = trainer.next_key()
+    # the step donates its state: copy it so the second call has live buffers
+    state_copy = jax.tree_util.tree_map(jnp.array, state)
+    _, loss_masked = step(state, trainer._prep_batch(batches[1]), key)
+    assert np.isfinite(float(loss_masked))
+    # same batch with the mask stripped -> over-weighted repeats -> different loss
+    nomask = {k: v for k, v in batches[1].items() if k != "pad_mask"}
+    _, loss_unmasked = step(state_copy, trainer._prep_batch(nomask), key)
+    assert float(loss_masked) != float(loss_unmasked)
+
+
 def test_trainer_sample_shape(tmp_path):
     trainer, state = _make_trainer(str(tmp_path))
     out = trainer.sample(state, n=2, cond=jnp.array([0, 1]), cfg_scale=3.0)
