@@ -406,13 +406,22 @@ class DiffusionProcess:
         cond=None,
         cfg_scale: Optional[float] = None,
         capture_frames: bool = False,
+        mesh=None,
     ):
         """Generate n images; mirrors the reference's Diffusion.sample.
 
         The condition may be a single image (broadcast to n, like the
         reference) or a per-sample batch of n condition images/labels.
+
+        ``mesh``: when sampling inside a mesh-parallel job (training
+        previews under --multiple_gpus), the sampler is a GLOBAL-mesh
+        computation every process enters; x_T, cond, and the key are placed
+        as replicated global arrays (all ranks hold identical values by
+        lockstep key discipline — Trainer.next_key advances uniformly).
+        Without this, x_T would be a process-local committed array that the
+        global jit rejects (multi-host) or that breaks device consistency.
         """
-        key, k_init = jax.random.split(key)
+        key, k_init = jax.random.split(jnp.asarray(key))
         x_T = jax.random.normal(
             k_init, (n, self.image_size, self.image_size, self.image_channels)
         )
@@ -422,4 +431,11 @@ class DiffusionProcess:
                 cond = jnp.broadcast_to(cond[None], (n,) + cond.shape)
             elif cond.ndim == 0:  # single label
                 cond = jnp.broadcast_to(cond[None], (n,))
+        if mesh is not None:
+            from diffusionremotesensing_tpu.parallel.sharding import global_replicated
+
+            x_T = global_replicated(x_T, mesh)
+            key = global_replicated(key, mesh)
+            if cond is not None:
+                cond = global_replicated(cond, mesh)
         return self.sampler(cfg_scale, capture_frames)(variables, key, x_T, cond)

@@ -329,8 +329,12 @@ class Trainer:
         self, batch: Dict[str, np.ndarray], train: bool = True
     ) -> Dict[str, jnp.ndarray]:
         """Host batch -> device (sharded when on a mesh), with per-batch label
-        dropout for CFG training (training batches only — the reference's val
-        path never drops labels)."""
+        dropout for CFG training. Training batches only — a conscious
+        deviation: the reference's generation VAL loop also applies 10%
+        label dropout (train_diffusion_generation.py:466-467), but that code
+        is dead (generation always trains with val_loader=None, :625), so
+        dropping only on train batches is behaviorally identical and the
+        statistically saner semantics (see PARITY.md)."""
         out = dict(batch)
         if train and self.label_dropout > 0 and "cond" in out:
             n = out["x"].shape[0]
@@ -497,7 +501,13 @@ class Trainer:
     # ------------------------------------------------------------------ infer
 
     def sample(self, state: TrainState, n: int, cond=None, cfg_scale=None, capture_frames=False, key=None):
-        """Sample with the EMA weights when EMA is on (reference preview/val)."""
+        """Sample with the EMA weights when EMA is on (reference preview/val).
+
+        Runs as a global-mesh computation when the trainer has a mesh: every
+        process must call this at the same program point (Trainer.train's
+        preview branch does), with x_T/cond/key placed replicated by
+        DiffusionProcess.sample — pinned under a real 2-process runtime in
+        tests/test_multiprocess.py (rank-identical preview outputs)."""
         params = state.ema_params if self.ema_smoothing else state.params
         variables = {"params": params, "batch_stats": state.batch_stats}
         return self.process.sample(
@@ -507,4 +517,5 @@ class Trainer:
             cond=cond,
             cfg_scale=cfg_scale,
             capture_frames=capture_frames,
+            mesh=self.mesh,
         )

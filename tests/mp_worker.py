@@ -159,6 +159,19 @@ def main():
         shard_index=jax.process_index(),
     )
     previews = []
+    preview_sums = []
+
+    def on_preview(s, e):
+        # REAL preview sampling under the multi-process mesh: a global-mesh
+        # scan every rank must enter (the reference's rank-0-only preview
+        # maps to rank-0-only FILE WRITES; the computation is collective).
+        # The digest must be identical across ranks (lockstep keys +
+        # replicated x_T via DiffusionProcess.sample(mesh=...)).
+        lr = np.random.default_rng(5).random((2, 8, 8, 3)).astype(np.float32)
+        out = trainer.sample(s, n=2, cond=lr)
+        previews.append(e)
+        preview_sums.append(float(np.asarray(out, np.float64).sum()))
+
     state = trainer.train(
         state,
         epochs=2,
@@ -167,7 +180,7 @@ def main():
         check_preds_epoch=1,
         patience=10,
         verbose=False,
-        on_preview=lambda s, e: previews.append(e),
+        on_preview=on_preview,
     )
 
     # collective orbax save: EVERY rank must enter CheckpointManager.save
@@ -227,6 +240,7 @@ def main():
                 "first_loss": first_loss,
                 "final_step": final_step_main,
                 "previews": previews,
+                "preview_sums": preview_sums,
                 "snapshot_written": os.path.exists(snap),
                 "orbax_saved": orbax_saved,
                 "stop_epoch_steps": stop_epoch_steps,
