@@ -88,6 +88,12 @@ class ResidualAttentionUNet(nn.Module):
     # Trainer merges into state.batch_stats. Opt-in (fp-tolerance-equivalent
     # gradients, like --compute_dtype bfloat16).
     s2d_train: bool = False
+    # Tap-structured Pallas conv for the s2d level-0 3x3s (ops/tap_conv.py):
+    # skips the dense-s2d kernels' 75% structural-zero MACs via an in-VMEM
+    # im2col (1.78x reference MACs instead of 4x). False | 'conv2' (only
+    # blk_conv2, the profiled #1 op) | True (conv2 + the conv1/skip pair).
+    # Exact math (golden tests); runs interpreted automatically off-TPU.
+    tap44: object = False
 
     def setup(self):
         dc, uc = self.down_channels, self.up_channels
@@ -218,6 +224,7 @@ class ResidualAttentionUNet(nn.Module):
             k1_to_blockdiag,
             k2s2_to_1x1,
             k3_to_s2d,
+            k3_to_s2d44,
             k3s2_to_s2d,
             kT_to_s2d,
         )
@@ -233,6 +240,38 @@ class ResidualAttentionUNet(nn.Module):
             "att_wx": k2s2_to_1x1(self._p(att, "w_x", "conv", "kernel")),
             "att_rc": k1_to_blockdiag(self._p(att, "result_conv", "conv", "kernel")),
         }
+        if self.tap44 == "block":
+            # monolithic fused ResConvBlock-0 kernel (ops/tap_block.py):
+            # BN_0/BN_1/BN_2 fold into the conv weights here, so these are
+            # functions of params AND batch_stats (still loop-invariant)
+            from diffusionremotesensing_tpu.ops.tap_block import build_block_weights
+
+            def bn(mod, name):
+                p = mod.variables["params"][name]
+                s = mod.variables["batch_stats"][name]
+                return {"scale": p["scale"], "bias": p["bias"],
+                        "mean": s["mean"], "var": s["var"]}
+
+            k["tap_block"] = build_block_weights(
+                self._p(blk, "conv1", "conv", "kernel"),
+                self._p(blk, "conv1", "conv", "bias"),
+                bn(blk, "BatchNorm_0"),
+                self._p(blk, "conv_skip", "conv", "kernel"),
+                self._p(blk, "conv_skip", "conv", "bias"),
+                self._p(blk, "conv2", "conv", "kernel"),
+                self._p(blk, "conv2", "conv", "bias"),
+                bn(blk, "BatchNorm_1"),
+                self._p(blk, "shortcut_conv", "conv", "kernel"),
+                self._p(blk, "shortcut_conv", "conv", "bias"),
+                bn(blk, "BatchNorm_2"),
+            )
+        elif self.tap44:
+            # tap-structured variants for the Pallas path (measured −29% on
+            # blk_conv2 standalone at the flagship shape, NOTES.md round-3)
+            k["blk_conv2_44"] = k3_to_s2d44(self._p(blk, "conv2", "conv", "kernel"))
+            if self.tap44 is True:
+                k["blk_conv1_44"] = k3_to_s2d44(self._p(blk, "conv1", "conv", "kernel"))
+                k["blk_skip_44"] = k3_to_s2d44(self._p(blk, "conv_skip", "conv", "kernel"))
         # HEAD COMPOSITION: up_conv2's output feeds ONLY the 1x1 output conv,
         # so the two linear layers compose into one 3x3 conv (kernel W@V,
         # bias V^T b + b_out) — exact algebra, and it removes the s2d path's
@@ -333,21 +372,61 @@ class ResidualAttentionUNet(nn.Module):
         x_skip_s = h_s
 
         # ---- ResConvBlock 0 in s2d (blocks.py:180-214 semantics)
+        # tap44: the 3x3s run through the tap-structured Pallas kernel
+        # (inference only — the training forward keeps the differentiable
+        # XLA path); interpret mode automatically off-TPU so the exact same
+        # code path is test-covered on CPU.
+        use_tap = bool(self.tap44) and not train
+        if use_tap:
+            from diffusionremotesensing_tpu.ops.tap_conv import tap_conv, tap_conv_pair
+
+            interp = jax.default_backend() != "tpu"
         blk = self.conv_blocks[0]
-        h = _named_conv("s2d.blk_conv1", h_s, kern["blk_conv1"], SAME, dt)
+        if use_tap and self.tap44 == "block":
+            # whole ResConvBlock-0 in one fused kernel; skip to down0
+            from diffusionremotesensing_tpu.ops.tap_block import tap_block
+
+            te = self._time_bias(blk, t_emb.astype(dt), dt)
+            with jax.named_scope("s2d.tap_block0"):
+                res0_s = tap_block(
+                    h_s, jnp.tile(te, (1, 4)), kern["tap_block"], interpret=interp
+                )
+            return self._forward_s2d_tail(res0_s, t_emb, train, kern, s2d_io, dt, updates)
+        if use_tap and self.tap44 is True:
+            with jax.named_scope("s2d.tap_conv1_skip"):
+                h, h_sk = tap_conv_pair(
+                    h_s, kern["blk_conv1_44"], kern["blk_skip_44"], interpret=interp
+                )
+        else:
+            h = _named_conv("s2d.blk_conv1", h_s, kern["blk_conv1"], SAME, dt)
+            h_sk = None
         h = h + tile(self._p(blk, "conv1", "conv", "bias"))
         h = nn.relu(self._bn_s2d(h, blk, "BatchNorm_0", dt, train, updates, "conv_block0"))
-        h = h + _named_conv("s2d.blk_skip", x_skip_s, kern["blk_skip"], SAME, dt) + tile(
-            self._p(blk, "conv_skip", "conv", "bias")
-        )
+        if h_sk is None:
+            h_sk = _named_conv("s2d.blk_skip", x_skip_s, kern["blk_skip"], SAME, dt)
+        h = h + h_sk + tile(self._p(blk, "conv_skip", "conv", "bias"))
         te = self._time_bias(blk, t_emb.astype(dt), dt)  # (B, 32)
         h = h + jnp.tile(te, (1, 4))[:, None, None, :]
-        h = _named_conv("s2d.blk_conv2", h, kern["blk_conv2"], SAME, dt)
+        if use_tap:
+            with jax.named_scope("s2d.tap_conv2"):
+                h = tap_conv(h, kern["blk_conv2_44"], interpret=interp)
+        else:
+            h = _named_conv("s2d.blk_conv2", h, kern["blk_conv2"], SAME, dt)
         h = h + tile(self._p(blk, "conv2", "conv", "bias"))
         h = self._bn_s2d(h, blk, "BatchNorm_1", dt, train, updates, "conv_block0")
         s = _named_conv("s2d.blk_short", x_skip_s, kern["blk_short"], "VALID", dt) + tile(self._p(blk, "shortcut_conv", "conv", "bias"))
         s = self._bn_s2d(s, blk, "BatchNorm_2", dt, train, updates, "conv_block0")
         res0_s = nn.relu(s + h)
+        return self._forward_s2d_tail(res0_s, t_emb, train, kern, s2d_io, dt, updates)
+
+    def _forward_s2d_tail(self, res0_s, t_emb, train, kern, s2d_io, dt, updates):
+        """Everything after ResConvBlock-0: down0, levels 1+, up stage 2 and
+        the composed head — shared by the XLA/tap_conv path and the fused
+        tap_block path."""
+        from diffusionremotesensing_tpu.ops.s2d import depth_to_space
+
+        SAME = ((1, 1), (1, 1))
+        tile = lambda a: jnp.tile(a, 4).astype(dt)  # noqa: E731
 
         # ---- down0: 3x3 stride-2 conv == 2x2 s2d conv; output leaves s2d
         h = _named_conv("s2d.down0", res0_s, kern["down0"], ((1, 0), (1, 0)), dt) + self._p(
@@ -506,6 +585,7 @@ def residual_attention_unet_superres(
     use_pallas=False,
     s2d: bool = False,
     s2d_train: bool = False,
+    tap44: object = False,
 ) -> ResidualAttentionUNet:
     """Superres UNet (ref UNet_model_superres.py:266): LR-image conditioned."""
     return ResidualAttentionUNet(
@@ -518,6 +598,7 @@ def residual_attention_unet_superres(
         use_pallas=use_pallas,
         s2d=s2d,
         s2d_train=s2d_train,
+        tap44=tap44,
     )
 
 
@@ -527,6 +608,7 @@ def residual_attention_unet_sar_to_ndvi(
     dtype=None,
     s2d: bool = False,
     s2d_train: bool = False,
+    tap44: object = False,
 ) -> ResidualAttentionUNet:
     """SAR->NDVI UNet (ref UNet_model_SAR_TO_NDVI.py:263): SAR-image conditioned."""
     return ResidualAttentionUNet(
@@ -537,6 +619,7 @@ def residual_attention_unet_sar_to_ndvi(
         dtype=dtype,
         s2d=s2d,
         s2d_train=s2d_train,
+        tap44=tap44,
     )
 
 
@@ -547,6 +630,7 @@ def residual_attention_unet_generation(
     dtype=None,
     s2d: bool = False,
     s2d_train: bool = False,
+    tap44: object = False,
 ) -> ResidualAttentionUNet:
     """Class-conditional UNet (ref UNet_model_generation.py:226) with CFG masking."""
     return ResidualAttentionUNet(
@@ -557,6 +641,7 @@ def residual_attention_unet_generation(
         dtype=dtype,
         s2d=s2d,
         s2d_train=s2d_train,
+        tap44=tap44,
     )
 
 

@@ -38,11 +38,13 @@ __all__ = [
     "depth_to_space",
     "s2d_concat",
     "k3_to_s2d",
+    "k3_to_s2d44",
     "k1_to_blockdiag",
     "k3s2_to_s2d",
     "k2s2_to_1x1",
     "kT_to_s2d",
     "conv_s2d",
+    "conv_s2d44",
 ]
 
 
@@ -101,6 +103,47 @@ def k3_to_s2d(w: jax.Array) -> jax.Array:
                         p + 1, q + 1, ti * ci : (ti + 1) * ci, to * co : (to + 1) * co
                     ].add(w[u, v])
     return ws
+
+
+def k3_to_s2d44(w: jax.Array) -> jax.Array:
+    """3x3 stride-1 SAME conv kernel (3,3,Ci,Co) -> TAP-STRUCTURED stride-2
+    kernel (4,4,Ci,4Co), applied to the ORIGINAL-layout input with stride 2
+    and padding (1,1); the output is directly in s2d (tap-stacked) layout.
+
+    The four output taps of one s2d pixel jointly read only a 4x4 window of
+    original pixels (rows 2i-1..2i+2): output tap t = 2*di+dj at s2d pixel
+    (i,j) is sum_{u,v} W[u,v] x[2i+di+u-1, 2j+dj+v-1], so window position
+    (r,s) = (di+u, dj+v) carries W[r-di, s-dj] into output block t. This
+    costs 4*4*Ci*4Co = 64*Ci*Co MACs per s2d pixel = **1.78x the reference
+    math** — vs 4x for the dense s2d kernel of :func:`k3_to_s2d` — while
+    keeping full MXU occupancy (16Ci contraction, 4Co output lanes)."""
+    ci, co = w.shape[2], w.shape[3]
+    ws = jnp.zeros((4, 4, ci, 4 * co), w.dtype)
+    for di in range(2):
+        for dj in range(2):
+            t = 2 * di + dj
+            for u in range(3):
+                for v in range(3):
+                    ws = ws.at[di + u, dj + v, :, t * co : (t + 1) * co].set(w[u, v])
+    return ws
+
+
+def conv_s2d44(x_s2d, w44, dtype=None):
+    """Tap-structured evaluation of a level-0 3x3 SAME conv: depth-to-space
+    back to the original layout, then ONE stride-2 4x4 conv (kernel from
+    :func:`k3_to_s2d44`) emitting the tap-stacked s2d output. Equals
+    ``conv_s2d(x_s2d, k3_to_s2d(w), SAME)`` exactly (tests/test_s2d.py)
+    at 2.25x fewer MACs; the d2s transpose is the price (fused away by the
+    Pallas variant in ops/tap_conv.py)."""
+    dt = dtype or x_s2d.dtype
+    x = depth_to_space(x_s2d.astype(dt))
+    return jax.lax.conv_general_dilated(
+        x,
+        w44.astype(dt),
+        window_strides=(2, 2),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
 
 
 def k1_to_blockdiag(w: jax.Array) -> jax.Array:

@@ -129,3 +129,38 @@ def test_s2d_train_step_matches_normal():
                     jax.tree_util.tree_leaves(st1.params)):
         a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
         assert np.abs(b - a).max() <= 2.1e-3  # 2*lr + slack (adam sign flips at g~0)
+
+
+def test_tap44_forward_matches_s2d():
+    """tap44 (tap-structured Pallas conv, interpret mode on CPU) must equal
+    the dense-s2d path exactly for BOTH enablement levels."""
+    m0 = residual_attention_unet_superres(magnification_factor=2, s2d=True)
+    v = init_unet_params(m0, jax.random.PRNGKey(7), image_size=32)
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    t = np.array([2, 8], np.int32)
+    cond = rng.random((2, 16, 16, 3)).astype(np.float32)
+    ref = np.asarray(m0.apply(v, x, t, cond, train=False))
+    for level in ("conv2", True, "block"):
+        m1 = residual_attention_unet_superres(
+            magnification_factor=2, s2d=True, tap44=level
+        )
+        got = np.asarray(m1.apply(v, x, t, cond, train=False))
+        np.testing.assert_allclose(got, ref, atol=2e-5, err_msg=f"tap44={level}")
+
+
+def test_tap44_sampler_matches_s2d():
+    """Full reverse chain with tap44 through make_process (hoisted kernels)."""
+    from diffusionremotesensing_tpu.diffusion import make_process
+
+    m0 = residual_attention_unet_superres(magnification_factor=2, s2d=True)
+    m1 = residual_attention_unet_superres(magnification_factor=2, s2d=True, tap44=True)
+    v = init_unet_params(m0, jax.random.PRNGKey(8), image_size=32)
+
+    key = jax.random.PRNGKey(9)
+    x_T = jax.random.normal(jax.random.PRNGKey(10), (2, 32, 32, 3))
+    cond = jax.random.uniform(jax.random.PRNGKey(11), (2, 16, 16, 3))
+    out0 = np.asarray(make_process(m0, "cosine", 5, 32).sampler()(v, key, x_T, cond))
+    out1 = np.asarray(make_process(m1, "cosine", 5, 32).sampler()(v, key, x_T, cond))
+    np.testing.assert_allclose(out1, out0, atol=1e-4)
