@@ -38,9 +38,23 @@ if __name__ == "__main__":
     parser.add_argument("--ddim_steps", type=int, default=None,
                         help="use DDIM with this many steps instead of the full DDPM chain")
     parser.add_argument("--ddim_eta", type=float, default=0.0)
+    parser.add_argument("--ddim_spacing", type=str, default="linear",
+                        choices=["linear", "quadratic"],
+                        help="DDIM timestep subsequence spacing (quadratic "
+                             "concentrates steps near t=0; better at few steps)")
+    parser.add_argument("--ddim_clip_x0",
+                        type=lambda v: str(v).lower() in ("yes", "true", "t", "1"),
+                        nargs="?", const=True, default=True,
+                        help="clamp the per-step DDIM x0 prediction to [0,1] "
+                             "(default on: +2.1 dB / +0.027 SSIM at DDIM-100 on "
+                             "the learning-gate model; --ddim_clip_x0 false disables)")
     parser.add_argument("--s2d", type=lambda v: str(v).lower() in ("yes", "true", "t", "1"),
                         nargs="?", const=True, default=True,
                         help="space-to-depth inference execution (exact math, faster on TPU); --s2d false disables")
+    parser.add_argument("--tap44", type=str, default="auto",
+                        choices=["auto", "off", "conv2", "full", "block"],
+                        help="tap-structured Pallas kernels for the s2d level-0 "
+                             "convs (auto = fused-block kernel on TPU, off elsewhere)")
     parser.add_argument("--multiple_gpus", type=lambda v: str(v).lower() in ("yes", "true", "t", "1"),
                         nargs="?", const=True, default=False,
                         help="shard the patch batch across all local chips")

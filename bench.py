@@ -89,8 +89,13 @@ def bench_tpu():
     # s2d=True: space-to-depth execution of the narrow-channel full-res level
     # (ops/s2d.py) — measured +62% sampler throughput on v5e, numerically
     # equivalent to the reference path (tests/test_s2d_model.py)
+    # tap44='block': fused whole-ResConvBlock-0 Pallas kernel (BN folded,
+    # shared im2col; ops/tap_block.py) — measured −4% step time vs the
+    # dense-s2d kernels (benchmarks/NOTES.md round-3)
+    from diffusionremotesensing_tpu.models.unet import default_tap44
+
     model = residual_attention_unet_superres(
-        magnification_factor=MAG, dtype=jnp.bfloat16, s2d=True
+        magnification_factor=MAG, dtype=jnp.bfloat16, s2d=True, tap44=default_tap44()
     )
     # init on the CPU backend (flax init through the remote-TPU tunnel is
     # pathologically slow) with the f32 model so param dtypes stay float32
@@ -181,6 +186,10 @@ def main():
                 ),
                 "vs_baseline": round(vs, 1) if vs else None,
                 "tile_seconds_t1500": round(tile_s, 3),
+                # DDIM-100 with clip_x0 (the AggregationSampler default):
+                # 33.95 dB / 0.960 SSIM vs bicubic 23.97 / 0.854 on the
+                # 95k-step learning-gate snapshot (benchmarks/NOTES.md) —
+                # beats bicubic on BOTH metrics at this speed point
                 "tile_seconds_ddim100": round(tile_ddim_s, 3),
                 "unet_forwards_per_sec": round(fwd_rate, 1),
                 "mfu_pct": round(100 * mfu, 1) if mfu else None,

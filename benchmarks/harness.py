@@ -45,9 +45,12 @@ def _tpu_setup(dtype_name: str, use_pallas: bool, s2d: bool = True):
         residual_attention_unet_superres,
     )
 
+    from diffusionremotesensing_tpu.models.unet import default_tap44
+
     dtype = {"f32": None, "bf16": jnp.bfloat16}[dtype_name]
     model = residual_attention_unet_superres(
-        magnification_factor=MAG, dtype=dtype, use_pallas=use_pallas, s2d=s2d
+        magnification_factor=MAG, dtype=dtype, use_pallas=use_pallas, s2d=s2d,
+        tap44=default_tap44() if s2d else False,
     )
     try:
         cpu = jax.devices("cpu")[0]

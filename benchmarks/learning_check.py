@@ -107,7 +107,9 @@ def _load_eval_variables(snapshot: str):
     return {"params": state["params"], "batch_stats": state.get("batch_stats", {})}
 
 
-def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int = 1500):
+def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int = 1500,
+             ddim_eta: float = 0.0, ddim_spacing: str = "linear",
+             ddim_clip_x0: bool = False):
     import jax
     import jax.numpy as jnp
     from PIL import Image
@@ -119,13 +121,16 @@ def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int 
     from diffusionremotesensing_tpu.utils import psnr, ssim
 
     variables = _load_eval_variables(snapshot)
+    from diffusionremotesensing_tpu.models.unet import default_tap44
+
     model = residual_attention_unet_superres(
-        magnification_factor=MAG, dtype=jnp.bfloat16, s2d=True
+        magnification_factor=MAG, dtype=jnp.bfloat16, s2d=True, tap44=default_tap44()
     )
     proc = make_process(model, "cosine", noise_steps, HR)
     agg = AggregationSampler(
         proc, patch_size=HR // MAG, stride=HR // (2 * MAG), magnification_factor=MAG,
-        ddim_steps=ddim_steps,
+        ddim_steps=ddim_steps, ddim_eta=ddim_eta, ddim_spacing=ddim_spacing,
+        ddim_clip_x0=ddim_clip_x0,
     )
 
     rows = []
@@ -147,7 +152,12 @@ def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int 
         )
     summary = {
         "snapshot": snapshot,
-        "sampler": f"DDIM-{ddim_steps}" if ddim_steps else f"DDPM T={noise_steps}",
+        "sampler": (
+            f"DDIM-{ddim_steps} eta={ddim_eta} {ddim_spacing}"
+            + (" clip_x0" if ddim_clip_x0 else "")
+            if ddim_steps
+            else f"DDPM T={noise_steps}"
+        ),
         "tiles": rows,
         "mean_sr_psnr_db": float(np.mean([r["sr_psnr_db"] for r in rows])),
         "mean_bicubic_psnr_db": float(np.mean([r["bicubic_psnr_db"] for r in rows])),
@@ -213,7 +223,11 @@ def evaluate_sar(root: str, snapshot: str, ddim_steps: int | None, noise_steps: 
     from diffusionremotesensing_tpu.utils import psnr, ssim
 
     variables = _load_eval_variables(snapshot)
-    model = residual_attention_unet_sar_to_ndvi(dtype=jnp.bfloat16, s2d=True)
+    from diffusionremotesensing_tpu.models.unet import default_tap44
+
+    model = residual_attention_unet_sar_to_ndvi(
+        dtype=jnp.bfloat16, s2d=True, tap44=default_tap44()
+    )
     proc = make_process(model, "cosine", noise_steps, SAR_SIZE)
 
     d = os.path.join(root, "eval_pairs")
@@ -320,8 +334,11 @@ def evaluate_gen(snapshot: str, n_per_class: int = 16, noise_steps: int = 1500,
     )
 
     variables = _load_eval_variables(snapshot)
+    from diffusionremotesensing_tpu.models.unet import default_tap44
+
     model = residual_attention_unet_generation(
-        num_classes=len(GEN_CLASSES), dtype=jnp.bfloat16, s2d=True
+        num_classes=len(GEN_CLASSES), dtype=jnp.bfloat16, s2d=True,
+        tap44=default_tap44(),
     )
     proc = make_process(model, "cosine", noise_steps, GEN_SIZE)
     labels = np.repeat(np.arange(len(GEN_CLASSES)), n_per_class).astype(np.int32)
@@ -358,6 +375,10 @@ def main():
     p.add_argument("--evaluate_sar", type=str, default=None, metavar="DIR")
     p.add_argument("--snapshot", type=str, default=None)
     p.add_argument("--ddim_steps", type=int, default=None)
+    p.add_argument("--ddim_eta", type=float, default=0.0)
+    p.add_argument("--ddim_spacing", type=str, default="linear",
+                   choices=["linear", "quadratic"])
+    p.add_argument("--ddim_clip_x0", action="store_true")
     p.add_argument("--noise_steps", type=int, default=1500)
     args = p.parse_args()
     if args.prepare:
@@ -366,7 +387,9 @@ def main():
         prepare_sar(args.prepare_sar)
     if args.evaluate:
         assert args.snapshot, "--evaluate needs --snapshot"
-        evaluate(args.evaluate, args.snapshot, args.ddim_steps, args.noise_steps)
+        evaluate(args.evaluate, args.snapshot, args.ddim_steps, args.noise_steps,
+                 ddim_eta=args.ddim_eta, ddim_spacing=args.ddim_spacing,
+                 ddim_clip_x0=args.ddim_clip_x0)
     if args.evaluate_sar:
         assert args.snapshot, "--evaluate_sar needs --snapshot"
         evaluate_sar(args.evaluate_sar, args.snapshot, args.ddim_steps, args.noise_steps)

@@ -112,6 +112,12 @@ class AggregationSampler:
         mesh=None,
         ddim_steps: Optional[int] = None,
         ddim_eta: float = 0.0,
+        ddim_spacing: str = "linear",
+        # clip_x0 defaults ON for the (opt-in) DDIM path: measured on the
+        # 95k-step learning-gate snapshot it lifts DDIM-100 from
+        # 31.8 dB/0.934 to 33.95 dB/0.960 SSIM — beating bicubic on BOTH
+        # metrics at the sub-second tile point (benchmarks/NOTES.md round-3)
+        ddim_clip_x0: bool = True,
     ):
         assert stride <= patch_size
         self.process = process
@@ -122,6 +128,8 @@ class AggregationSampler:
         self.mesh = mesh
         self.ddim_steps = ddim_steps  # None = reference-parity DDPM sampling
         self.ddim_eta = ddim_eta
+        self.ddim_spacing = ddim_spacing
+        self.ddim_clip_x0 = ddim_clip_x0
         self.n_devices = mesh.devices.size if mesh is not None else 1
         hr = patch_size * magnification_factor
         self.weight = gaussian_weights(hr, hr)  # (hr, hr)
@@ -145,7 +153,10 @@ class AggregationSampler:
     def sample_patches(self, variables, patches: np.ndarray, key: jax.Array) -> np.ndarray:
         """Denoise all patches, chunked to a static per-call batch."""
         if self.ddim_steps is not None:
-            sampler = self.process.ddim_sampler(self.ddim_steps, self.ddim_eta)
+            sampler = self.process.ddim_sampler(
+                self.ddim_steps, self.ddim_eta,
+                tau_spacing=self.ddim_spacing, clip_x0=self.ddim_clip_x0,
+            )
         else:
             sampler = self.process.sampler()
         chunk = self._chunk()

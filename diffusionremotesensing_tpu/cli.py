@@ -549,12 +549,19 @@ def launch_aggregation(args) -> None:
     from diffusionremotesensing_tpu.models.unet import residual_attention_unet_superres
     from diffusionremotesensing_tpu.utils import save_image
 
+    from diffusionremotesensing_tpu.models.unet import default_tap44
+
     device = _select_device(args.device)
+    s2d = getattr(args, "s2d", True)
+    tap44_arg = getattr(args, "tap44", "auto")
     model = residual_attention_unet_superres(
         image_channels=args.inp_out_channels,
         out_dim=args.inp_out_channels,
         magnification_factor=args.magnification_factor,
-        s2d=getattr(args, "s2d", True),
+        s2d=s2d,
+        tap44=(default_tap44() if tap44_arg == "auto" else
+               {"off": False, "conv2": "conv2", "full": True, "block": "block"}[tap44_arg])
+        if s2d else False,
     )
     print(f"You are using {args.UNet_type} model")
 
@@ -589,6 +596,8 @@ def launch_aggregation(args) -> None:
         mesh=mesh,
         ddim_steps=getattr(args, "ddim_steps", None),
         ddim_eta=getattr(args, "ddim_eta", 0.0),
+        ddim_spacing=getattr(args, "ddim_spacing", "linear"),
+        ddim_clip_x0=getattr(args, "ddim_clip_x0", True),
     )
     out = sampler(variables, arr)
     save_image(out, args.destination_path)

@@ -191,6 +191,8 @@ def make_ddim_sampler(
     *,
     eta: float = 0.0,
     cfg_scale: Optional[float] = None,
+    tau_spacing: str = "linear",
+    clip_x0: bool = False,
     encode_cond_fn: Optional[Callable] = None,
     prepare_fn: Optional[Callable] = None,
     state_codec: Optional[tuple] = None,
@@ -200,17 +202,27 @@ def make_ddim_sampler(
     the T-step ancestral sampler): ``num_steps`` model evaluations instead of
     T-1, deterministic at eta=0, approaching DDPM as eta -> 1.
 
-    Uses the same model/schedule as training; the timestep subsequence is
-    an even stride over [1, T), highest first.
+    Uses the same model/schedule as training. ``tau_spacing``: 'linear' is
+    an even stride over [1, T); 'quadratic' (Song et al. §4.2's preferred
+    subsequence for few steps) concentrates steps near t=0 where the
+    denoising trajectory curves most. ``clip_x0`` clamps the per-step x0
+    prediction to [0, 1] — the data range of every task in this framework
+    (the reference clamps only the FINAL output,
+    superres_and_NDVIgen.py:49); at few steps an out-of-range x0_pred
+    otherwise feeds visible artifacts back through the update.
 
     Returns sample(variables, key, x_T, cond) -> x0.
     """
     T = schedule.noise_steps
     # strided subsequence of [1, T), descending; pair each t with its
     # predecessor in the subsequence (0 terminates, where alpha_hat -> 1)
-    taus = jnp.asarray(
-        np.unique(np.linspace(1, T - 1, num_steps).round().astype(np.int64))[::-1].copy()
-    )
+    if tau_spacing == "quadratic":
+        grid = np.linspace(1.0, np.sqrt(T - 1), num_steps) ** 2
+    elif tau_spacing == "linear":
+        grid = np.linspace(1, T - 1, num_steps)
+    else:
+        raise ValueError(f"tau_spacing must be linear|quadratic, got {tau_spacing!r}")
+    taus = jnp.asarray(np.unique(grid.round().astype(np.int64))[::-1].copy())
     taus_prev = jnp.concatenate([taus[1:], jnp.zeros((1,), taus.dtype)])
     enc, dec = state_codec if state_codec is not None else (None, None)
 
@@ -250,6 +262,12 @@ def make_ddim_sampler(
             # eta > 0 (mirrors the DDPM sampler's zero-noise last step)
             ah_prev = jnp.where(t_prev > 0, schedule.alpha_hat[t_prev], 1.0)
             x0_pred = (x - jnp.sqrt(1.0 - ah) * eps_hat) / jnp.sqrt(ah)
+            if clip_x0:
+                # pointwise clip, valid directly in the s2d state layout (a
+                # pixel permutation); recompute eps from the clipped x0 so
+                # the direction term stays consistent with the prediction
+                x0_pred = jnp.clip(x0_pred, 0.0, 1.0)
+                eps_hat = (x - jnp.sqrt(ah) * x0_pred) / jnp.sqrt(1.0 - ah)
             sigma = (
                 eta
                 * jnp.sqrt((1.0 - ah_prev) / (1.0 - ah))
@@ -381,9 +399,16 @@ class DiffusionProcess:
             self._samplers[cache_key] = jax.jit(fn)
         return self._samplers[cache_key]
 
-    def ddim_sampler(self, num_steps: int, eta: float = 0.0, cfg_scale: Optional[float] = None):
+    def ddim_sampler(
+        self,
+        num_steps: int,
+        eta: float = 0.0,
+        cfg_scale: Optional[float] = None,
+        tau_spacing: str = "linear",
+        clip_x0: bool = False,
+    ):
         """Jitted DDIM sampler with ``num_steps`` model evaluations."""
-        cache_key = ("ddim", num_steps, eta, cfg_scale)
+        cache_key = ("ddim", num_steps, eta, cfg_scale, tau_spacing, clip_x0)
         if cache_key not in self._samplers:
             fn = make_ddim_sampler(
                 self.apply_fn,
@@ -391,6 +416,8 @@ class DiffusionProcess:
                 num_steps,
                 eta=eta,
                 cfg_scale=cfg_scale,
+                tau_spacing=tau_spacing,
+                clip_x0=clip_x0,
                 encode_cond_fn=self.encode_cond_fn,
                 prepare_fn=self.prepare_fn,
                 state_codec=self.state_codec,

@@ -577,6 +577,18 @@ class ResidualAttentionUNet(nn.Module):
         return out.astype(jnp.float32)
 
 
+def default_tap44() -> object:
+    """Default tap44 level for inference surfaces: the fused-block Pallas
+    kernel on TPU backends (measured −4% sampler step at the flagship shape,
+    benchmarks/NOTES.md round-3), off elsewhere — interpret-mode Pallas
+    would slow CPU runs/tests. Opt out with tap44=False (bit-reference s2d
+    execution) wherever a surface forwards the kwarg."""
+    try:
+        return "block" if jax.default_backend() == "tpu" else False
+    except Exception:  # pragma: no cover - backend probing never raises in practice
+        return False
+
+
 def residual_attention_unet_superres(
     image_channels: int = 3,
     out_dim: int = 3,

@@ -1,0 +1,233 @@
+"""Monolithic fused Pallas kernel for the s2d ResConvBlock-0 (inference).
+
+ops/tap_conv.py made the individual level-0 3x3s cheaper (tap-structured
+im2col, 1.78x reference MACs instead of the dense-s2d 4x), but measured
+only −2% end-to-end: every pallas_call is an XLA fusion barrier, so the
+bias/BN/ReLU/add chains between the convs became standalone HBM round
+trips of the (B,64,64,128) activations (~50 MB each at the flagship
+shape). This kernel removes the barriers by computing the ENTIRE first
+ResConvBlock (/root/reference/UNet_model_superres.py:110-172, s2d form in
+models/unet._forward_s2d) in VMEM:
+
+    X1 = im2col4x4(x)                      # shared by conv1, skip, shortcut
+    Y  = X1 @ [W_conv1' | W_skip | W_short']   # ONE matmul, 384 out lanes
+    h  = relu(Y_conv1 + b1') + Y_skip + b_skip + time_bias
+    out = relu(X2(h) @ W_conv2' + b2' + Y_short + b_short')
+
+BatchNorm (inference, running stats) is an affine that folds into the
+adjacent conv: W' = W * (gamma/sqrt(var+eps)) per output channel,
+b' = (b - mean)*(gamma/sqrt(var+eps)) + beta — BN_0 into conv1, BN_1 into
+conv2, BN_2 into the shortcut. The 1x1 block-diagonal shortcut rides the
+X1 matmul for free: its weight rows live only on the four "center" im2col
+pieces (the unshifted tile, pieces k = 0,5,10,15 of ops/tap_conv._ORDER),
+so no separate dispatch, no 4x-inflated standalone block-diag matmul.
+
+Grid: (B, 2) — each program computes a 32-row half of one batch item's
+output from a 34-row h-slab (1-row halo recomputed, masked to zero outside
+[0,H2) which doubles as conv2's SAME zero padding). Peak VMEM ~6 MB.
+
+Only x (0.5 MB/item) is read and res0 (1 MB/item) written per program —
+the five intermediate (B,64,64,128) tensors of the unfused path never
+touch HBM. Equivalence with the dense-s2d path is pinned in
+tests/test_tap_conv.py / tests/test_s2d_model.py (interpret mode on CPU);
+measured adoption results in benchmarks/NOTES.md round-3.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from diffusionremotesensing_tpu.ops.tap_conv import _ORDER, _RS, _w2d
+
+try:  # pallas is TPU/GPU-only; import lazily so CPU test envs still work
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    PALLAS_AVAILABLE = True
+except Exception:  # pragma: no cover
+    PALLAS_AVAILABLE = False
+
+# im2col pieces that equal the UNSHIFTED tile (r in {1,2}, s in {1,2}):
+# their position k in _ORDER and the tap block tb=k%4 they carry. The
+# shortcut's weight rows are placed on exactly these rows of W1.
+_CENTER_K = [k for k, (r, s) in enumerate(_ORDER) if r in (1, 2) and s in (1, 2)]
+
+
+def _col_variants(t: jax.Array):
+    """Column-shift variants (cols -1..W-2 / 0..W-1 / 1..W) of a tile,
+    built with roll+mask so every variant keeps sublane offset 0 (slicing
+    the column dim directly produces mismatched sublane offsets Mosaic
+    refuses to concatenate — see ops/tap_conv.py)."""
+    W = t.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
+    cm1 = jnp.where(col > 0, jnp.roll(t, 1, axis=1), 0)
+    cp1 = jnp.where(col < W - 1, jnp.roll(t, -1, axis=1), 0)
+    return {0: cm1, 1: t, 2: cp1}
+
+
+def _im2col_rows(variants, h_row0: int, n_rows: int, C: int):
+    """im2col4x4 rows for h rows [h_row0, h_row0+n_rows) from the 2-row-
+    padded column variants (rows shifted +2). ``h_row0`` must be a STATIC
+    int — Mosaic has no dynamic_slice on values, so the caller branches on
+    the (two-valued) grid half index with lax.cond. Piece order _ORDER."""
+    pieces = []
+    for (r, s) in _ORDER:
+        ar, qi = _RS[r]
+        as_, qj = _RS[s]
+        tb = 2 * qi + qj
+        start = h_row0 + ar + 1  # rp2 row of h row h_row0 at window offset ar
+        pieces.append(
+            variants[as_][start : start + n_rows, :, tb * C : (tb + 1) * C]
+        )
+    return jnp.concatenate(pieces, axis=-1)
+
+
+def _tap_block_kernel(
+    x_ref,    # (1, H2, W2, 4Ci)    s2d stem output (h_s == x_skip_s)
+    te_ref,   # (1, 1, CO4)         relu(time MLP) tiled over taps, row b
+    w1_ref,   # (16*Ci, 3*CO4)      [conv1' | skip | shortcut'] combined
+    w2_ref,   # (16*Cm, CO4)        conv2' (BN_1 folded), _ORDER rows
+    b1_ref,   # (1, CO4)            conv1 bias (BN_0 folded)
+    bsk_ref,  # (1, CO4)            skip-conv bias
+    bsh_ref,  # (1, CO4)            shortcut bias (BN_2 folded)
+    b2_ref,   # (1, CO4)            conv2 bias (BN_1 folded)
+    out_ref,  # (1, ROWS, W2, CO4)  res0_s half
+):
+    half = pl.program_id(1)
+    H2, W2, C4 = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    ROWS = out_ref.shape[1]
+    CO4 = out_ref.shape[3]
+    Ci = C4 // 4
+    Cm = CO4 // 4
+    SLAB = ROWS + 2
+    r0 = half * ROWS
+    dt = out_ref.dtype
+
+    x = x_ref[0]
+    # 2-row zero pad so every dynamic h-slab row start is >= 0; rows 1 and
+    # H2+2 of rp2 are the conv's SAME zero padding, rows 0 / H2+3 are only
+    # read for h-slab rows that get masked to zero below.
+    rp2 = jnp.pad(x, ((2, 2), (0, 0), (0, 0)))
+    xvar = _col_variants(rp2)
+
+    # ---- h-slab: rows [r0-1, r0+ROWS+1) of h = relu(conv1')+skip+te ----
+    # static slices per half (half is two-valued; Mosaic has no value
+    # dynamic_slice), selected with lax.cond on the grid index
+    X1 = jax.lax.cond(
+        half == 0,
+        lambda: _im2col_rows(xvar, -1, SLAB, Ci),
+        lambda: _im2col_rows(xvar, ROWS - 1, SLAB, Ci),
+    )                                                        # (SLAB, W2, 16Ci)
+    Y = jax.lax.dot_general(
+        X1, w1_ref[:], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                        # (SLAB, W2, 3*CO4)
+    c1 = jnp.maximum(Y[..., :CO4] + b1_ref[0], 0.0)
+    h = c1 + Y[..., CO4 : 2 * CO4] + bsk_ref[0] + te_ref[0, 0, :]
+    # zero h rows outside [0, H2): doubles as conv2's SAME zero padding
+    rows_glob = r0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (SLAB, 1, 1), 0)
+    h = jnp.where((rows_glob >= 0) & (rows_glob < H2), h, 0.0).astype(dt)
+
+    # ---- conv2 over output rows [r0, r0+ROWS): static slab slices ------
+    hvar = _col_variants(h)
+    pieces = []
+    for (r, s) in _ORDER:
+        ar, qi = _RS[r]
+        as_, qj = _RS[s]
+        tb = 2 * qi + qj
+        pieces.append(hvar[as_][ar : ar + ROWS, :, tb * Cm : (tb + 1) * Cm])
+    X2 = jnp.concatenate(pieces, axis=-1)                    # (ROWS, W2, 16Cm)
+    c2 = jax.lax.dot_general(
+        X2, w2_ref[:], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) + b2_ref[0]
+    s = Y[1 : 1 + ROWS, :, 2 * CO4 :] + bsh_ref[0]
+    out_ref[0] = jnp.maximum(c2 + s, 0.0).astype(dt)
+
+
+def build_block_weights(
+    w_conv1, b_conv1, bn0,      # (3,3,Ci,Co), (Co,), {'scale','bias','mean','var'}
+    w_skip, b_skip,             # (3,3,Ci,Co), (Co,)
+    w_conv2, b_conv2, bn1,      # (3,3,Co,Co), (Co,)
+    w_short, b_short, bn2,      # (1,1,Ci,Co), (Co,)
+    eps: float = 1e-5,
+):
+    """Fold the three inference BatchNorms and assemble the kernel weights.
+
+    Returns dict {w1 (16Ci, 3*4Co), w2 (16Co, 4Co), b1, bsk, bsh, b2
+    (each (4Co,))} in f32 (caller casts to the compute dtype)."""
+    from diffusionremotesensing_tpu.ops.s2d import k3_to_s2d44
+
+    def fold(w, b, bn):
+        s = bn["scale"] / jnp.sqrt(bn["var"] + eps)
+        return w * s, (b - bn["mean"]) * s + bn["bias"]
+
+    ci, co = w_conv1.shape[2], w_conv1.shape[3]
+    w1f, b1f = fold(w_conv1, b_conv1, bn0)
+    w2f, b2f = fold(w_conv2, b_conv2, bn1)
+    wshf, bshf = fold(w_short[0, 0], b_short, bn2)   # (Ci, Co)
+
+    w1_conv1 = _w2d(k3_to_s2d44(w1f))                # (16Ci, 4Co)
+    w1_skip = _w2d(k3_to_s2d44(w_skip))
+    w1_short = jnp.zeros((16 * ci, 4 * co), w_conv1.dtype)
+    for k in _CENTER_K:                              # piece k carries tap k%4
+        t = k % 4
+        w1_short = w1_short.at[
+            k * ci : (k + 1) * ci, t * co : (t + 1) * co
+        ].set(wshf)
+    tile = lambda v: jnp.tile(v, 4)  # noqa: E731
+    return {
+        "w1": jnp.concatenate([w1_conv1, w1_skip, w1_short], axis=1),
+        "w2": _w2d(k3_to_s2d44(w2f)),
+        "b1": tile(b1f),
+        "bsk": tile(b_skip),
+        "bsh": tile(bshf),
+        "b2": tile(b2f),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def tap_block(x_s2d, te4, bw, interpret: bool = False):
+    """Fused s2d ResConvBlock-0: x_s2d (B,H2,W2,4Ci), te4 (B,4Co) the
+    tap-tiled relu'd time bias, bw from :func:`build_block_weights`
+    (already cast to the compute dtype). Returns res0_s (B,H2,W2,4Co)."""
+    B, H2, W2, _ = x_s2d.shape
+    CO4 = bw["w2"].shape[1]
+    ROWS = H2 // 2
+    dt = x_s2d.dtype
+    row = lambda name: bw[name].reshape(1, CO4).astype(dt)  # noqa: E731
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _tap_block_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H2, W2, CO4), dt),
+        grid=(B, 2),
+        in_specs=[
+            pl.BlockSpec((1, H2, W2, x_s2d.shape[3]), lambda b, h: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # te as (B,1,CO4): dim 0 is untiled, so per-b blocking is legal
+            # (a (B,CO4) ref would need a dynamic SUBLANE index — unprovable
+            # multiple-of-8, Mosaic rejects it)
+            pl.BlockSpec((1, 1, CO4), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
+            vspec, vspec, vspec, vspec, vspec, vspec,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ROWS, W2, CO4), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H2 * W2 * (16 * x_s2d.shape[3] // 4 * 3 * CO4
+                                     + 16 * CO4 // 4 * CO4),
+            bytes_accessed=(x_s2d.size + B * H2 * W2 * CO4) * dt.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        x_s2d,
+        te4.astype(dt)[:, None, :],
+        bw["w1"].astype(dt),
+        bw["w2"].astype(dt),
+        row("b1"),
+        row("bsk"),
+        row("bsh"),
+        row("b2"),
+    )

@@ -129,8 +129,11 @@ class InferenceServer:
         self.max_batch = max_batch
         self.process = make_process(model, noise_schedule, noise_steps, image_size)
         if ddim_steps is not None:
+            # clip_x0=True: the measured-best few-step config (+2.1 dB at
+            # DDIM-100 on the learning-gate model, benchmarks/NOTES.md)
             self._sampler = self.process.ddim_sampler(
-                ddim_steps, cfg_scale=3.0 if task == "generation" else None
+                ddim_steps, cfg_scale=3.0 if task == "generation" else None,
+                clip_x0=True,
             )
         elif task == "generation":
             self._sampler = self.process.sampler(cfg_scale=3.0)

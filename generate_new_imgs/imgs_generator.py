@@ -22,7 +22,10 @@ def main(s2d: bool = True):
     import matplotlib.pyplot as plt
 
     from diffusionremotesensing_tpu.io import load_snapshot
-    from diffusionremotesensing_tpu.models.unet import residual_attention_unet_generation
+    from diffusionremotesensing_tpu.models.unet import (
+        default_tap44,
+        residual_attention_unet_generation,
+    )
 
     noise_schedule = "cosine"
     input_channels = 3
@@ -39,6 +42,7 @@ def main(s2d: bool = True):
     model = residual_attention_unet_generation(
         image_channels=input_channels, out_dim=input_channels, num_classes=len(classes),
         s2d=s2d,  # fp-tolerance-equivalent fast path (tests/test_s2d_model.py)
+        tap44=default_tap44() if s2d else False,
     )
     state, _ = load_snapshot(snapshot_path)
     variables = {"params": state["params"], "batch_stats": state.get("batch_stats", {})}

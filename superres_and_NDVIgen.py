@@ -73,8 +73,9 @@ def super_resolver(lr_img: np.ndarray, device=None, model_name: str = "", key=No
         magnification_factor=magnification_factor,
         # s2d inference execution: same math to fp tolerance
         # (tests/test_s2d_model.py), ~1.6x faster; pass s2d=False for the
-        # bit-reference path
+        # bit-reference path. tap44: fused-block Pallas kernel on TPU.
         s2d=s2d,
+        tap44=default_tap44() if s2d else False,
     )
     variables = _load_variables(model_name, device)
     proc = make_process(model, "cosine", 1500, image_size)
@@ -110,7 +111,8 @@ def SAR_to_NDVI_generator(SAR_img_path: str, device=None, n_generations: int = 1
         raise ValueError("SAR image values are not in the range [-1, 1]")
 
     model = residual_attention_unet_sar_to_ndvi(
-        sar_channels=SAR_channels, ndvi_channels=NDVI_channels, s2d=s2d
+        sar_channels=SAR_channels, ndvi_channels=NDVI_channels, s2d=s2d,
+        tap44=default_tap44() if s2d else False,
     )
     variables = _load_variables(model_name, device)
     proc = make_process(model, "cosine", 1500, image_size)

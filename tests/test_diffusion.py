@@ -208,3 +208,53 @@ def test_ddim_process_api_with_cfg():
     out = sampler(v, jax.random.PRNGKey(2), x_T, jnp.array([0, 3]))
     assert out.shape == (2, 16, 16, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ddim_quadratic_spacing_and_clip_recover_x0():
+    """The quadratic-tau and clip_x0 variants must still walk an oracle
+    eps-model to x0 (clip is a no-op for in-range x0, exactness preserved),
+    and quadratic spacing must concentrate steps near t=0."""
+    import numpy as _np
+
+    from diffusionremotesensing_tpu.diffusion import make_ddim_sampler
+
+    sched = make_schedule("cosine", 1000)
+    x0 = 0.3 * jnp.ones((2, 4, 4, 1))
+
+    def apply_fn(variables, x, t, cond, mask):
+        ah = sched.alpha_hat[t.astype(jnp.int32)][:, None, None, None]
+        return (x - jnp.sqrt(ah) * x0) / jnp.sqrt(1 - ah)
+
+    x_T = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 1))
+    for spacing in ("linear", "quadratic"):
+        sampler = make_ddim_sampler(
+            apply_fn, sched, num_steps=10, eta=0.0,
+            tau_spacing=spacing, clip_x0=True,
+        )
+        out = sampler(None, jax.random.PRNGKey(1), x_T)
+        _np.testing.assert_allclose(_np.asarray(out), 0.3, atol=1e-3)
+    # spacing shape check: quadratic's smallest gap is at the low-t end
+    lin = _np.unique(_np.linspace(1, 999, 10).round())
+    quad = _np.unique((_np.linspace(1, _np.sqrt(999), 10) ** 2).round())
+    assert quad[1] - quad[0] < lin[1] - lin[0]
+    assert quad[-1] - quad[-2] > lin[-1] - lin[-2]
+
+
+def test_ddim_clip_x0_changes_out_of_range_trajectories():
+    """clip_x0 must actually bind when the model predicts out-of-range x0."""
+    from diffusionremotesensing_tpu.diffusion import make_ddim_sampler
+
+    sched = make_schedule("cosine", 100)
+    x0_oob = 1.7 * jnp.ones((1, 4, 4, 1))  # outside [0, 1]
+
+    def apply_fn(variables, x, t, cond, mask):
+        ah = sched.alpha_hat[t.astype(jnp.int32)][:, None, None, None]
+        return (x - jnp.sqrt(ah) * x0_oob) / jnp.sqrt(1 - ah)
+
+    x_T = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 1))
+    free = make_ddim_sampler(apply_fn, sched, num_steps=8)(None, jax.random.PRNGKey(1), x_T)
+    clipped = make_ddim_sampler(apply_fn, sched, num_steps=8, clip_x0=True)(
+        None, jax.random.PRNGKey(1), x_T
+    )
+    np.testing.assert_allclose(np.asarray(free), 1.7, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(clipped), 1.0, atol=1e-3)
