@@ -22,7 +22,6 @@ benchmarks/NOTES.md).
 Prints exactly ONE JSON line on stdout.
 """
 
-import hashlib
 import json
 import os
 import sys
@@ -51,19 +50,11 @@ BF16_PEAK = {          # dense bf16 peak FLOP/s per chip
 
 
 def _machine_scoped_cache() -> str:
-    """Compilation cache dir keyed by this machine's CPU signature: a cache
-    written on a different host must never be offered to XLA:CPU AOT here
-    (round-1 bench hit 'machine features mismatch' deserialization errors)."""
-    try:
-        with open("/proc/cpuinfo") as f:
-            # only frequency-independent lines: model name + ISA feature flags
-            info = "".join(
-                l for l in f if l.startswith(("model name", "flags"))
-            )
-        sig = hashlib.md5(info.encode()).hexdigest()[:10]
-    except OSError:
-        sig = "nocpuinfo"
-    return f"/tmp/jax_cache_{sig}"
+    """Canonical implementation lives in the package (utils); kept here as
+    the name harness/learning_check/NOTES reference."""
+    from diffusionremotesensing_tpu.utils import machine_scoped_cache_dir
+
+    return machine_scoped_cache_dir()
 
 
 def _patch_count() -> int:

@@ -28,11 +28,22 @@ def str2bool(v: str) -> bool:
 
 def _configure_platform() -> None:
     """Honor DRS_FORCE_CPU=1 even when a site customization pins the remote
-    TPU platform (used by CI/smoke tests)."""
-    if os.environ.get("DRS_FORCE_CPU"):
-        import jax
+    TPU platform (used by CI/smoke tests), and enable the persistent
+    compilation cache for accelerator runs: a cold train-step compile
+    through a remote-TPU tunnel costs 5-10 minutes, paid on EVERY CLI
+    invocation without the cache. min_compile_time=5 s keeps the small
+    CPU-backend init compiles out (warm XLA:CPU AOT loads emit spurious
+    machine-feature-mismatch errors — bench.py/NOTES.md); the cache dir is
+    machine-scoped for the same reason."""
+    import jax
 
+    if os.environ.get("DRS_FORCE_CPU"):
         jax.config.update("jax_platforms", "cpu")
+        return
+    from diffusionremotesensing_tpu.utils import machine_scoped_cache_dir
+
+    jax.config.update("jax_compilation_cache_dir", machine_scoped_cache_dir())
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
 
@@ -236,17 +247,21 @@ def launch_superres(args) -> None:
                 from diffusionremotesensing_tpu.data.degradations import _Rng
 
                 blur_radius = _Rng(0).py.triangular(0.5, 1.5, 1)
-            train_ds = DecodeOnlyDataset(train_path, args.image_size)
-            val_ds = DecodeOnlyDataset(valid_path, args.image_size)
+            cache_mb = getattr(args, "decode_cache_mb", 0.0)
+            train_ds = DecodeOnlyDataset(train_path, args.image_size, cache_mb=cache_mb)
+            val_ds = DecodeOnlyDataset(valid_path, args.image_size, cache_mb=cache_mb)
             batch_transform = make_downblur_transform(
                 args.image_size, args.magnification_factor, float(blur_radius)
             )
         else:
+            cache_mb = getattr(args, "decode_cache_mb", 0.0)
             train_ds = SuperresDownBlurDataset(
-                train_path, args.magnification_factor, blur_radius, noise, "PIL", args.image_size
+                train_path, args.magnification_factor, blur_radius, noise, "PIL",
+                args.image_size, cache_mb=cache_mb,
             )
             val_ds = SuperresDownBlurDataset(
-                valid_path, args.magnification_factor, blur_radius, noise, "PIL", args.image_size
+                valid_path, args.magnification_factor, blur_radius, noise, "PIL",
+                args.image_size, cache_mb=cache_mb,
             )
     elif deg == "bsrgan":
         train_ds = SuperresBSRGANDataset(

@@ -32,6 +32,36 @@ from diffusionremotesensing_tpu.data.degradations import (
 _IMG_EXTS = {".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".webp"}
 
 
+class DecodedCache:
+    """Bounded in-RAM cache of decoded (post-resize) uint8 images.
+
+    Training re-decodes every image every epoch; on a few-core host the
+    decode is the data-pipeline bottleneck (~1.3 ms/item measured,
+    benchmarks/NOTES.md) even with --device_degradation. Decoded images are
+    immutable and identical across epochs, so caching is bit-exact.
+    Thread-safe insert-up-to-budget (the DataLoader fetches on a thread
+    pool); no eviction — one epoch touches the same fixed set, so items
+    past the byte budget simply stay uncached."""
+
+    def __init__(self, max_mb: float):
+        import threading
+
+        self.max_bytes = int(max_mb * 1e6)
+        self._bytes = 0
+        self._d: dict = {}
+        self._lock = threading.Lock()
+
+    def get(self, key):
+        return self._d.get(key)
+
+    def put(self, key, arr: np.ndarray) -> None:
+        with self._lock:
+            if key in self._d or self._bytes + arr.nbytes > self.max_bytes:
+                return
+            self._d[key] = arr
+            self._bytes += arr.nbytes
+
+
 def _to_float_hwc(img: Image.Image) -> np.ndarray:
     arr = np.asarray(img, dtype=np.float32) / 255.0
     if arr.ndim == 2:
@@ -87,6 +117,7 @@ class SuperresDownBlurDataset:
         data_format: str = "PIL",
         image_size: Optional[int] = None,
         seed: int = 0,
+        cache_mb: float = 0.0,
     ):
         self.root_dir = root_dir
         self.magnification_factor = magnification_factor
@@ -95,6 +126,7 @@ class SuperresDownBlurDataset:
         self.image_size = image_size
         self.filenames = sorted(os.listdir(root_dir))
         self._rng = _Rng(seed)
+        self._cache = DecodedCache(cache_mb) if cache_mb > 0 else None
         if blur_radius == "random":
             blur_radius = self._rng.py.triangular(0.5, 1.5, 1)
         self.blur_radius = float(blur_radius)
@@ -102,10 +134,24 @@ class SuperresDownBlurDataset:
     def __len__(self) -> int:
         return len(self.filenames)
 
-    def __getitem__(self, idx: int):
+    def _decoded(self, idx: int) -> Image.Image:
+        """Decoded + reference-resized HR image, via the bit-exact uint8
+        cache when enabled (decode is the per-item cost the degradation
+        doesn't dominate; see DecodedCache)."""
+        if self._cache is not None:
+            arr = self._cache.get(idx)
+            if arr is not None:
+                return Image.fromarray(arr.squeeze())
         y = _decode_rgb(
             os.path.join(self.root_dir, self.filenames[idx]), self.data_format, self.image_size
         )
+        if self._cache is not None:
+            arr = np.asarray(y, np.uint8)
+            self._cache.put(idx, arr if arr.ndim == 3 else arr[:, :, None])
+        return y
+
+    def __getitem__(self, idx: int):
+        y = self._decoded(idx)
         mag = self.magnification_factor
         x = y.resize((y.size[0] // mag, y.size[1] // mag), Image.BICUBIC)
         x = x.filter(ImageFilter.GaussianBlur(self.blur_radius))
@@ -124,22 +170,30 @@ class DecodeOnlyDataset:
     the accelerator). Yields {'hr_u8': (S, S, C) uint8}; pair with
     data.device_degradation.make_downblur_transform."""
 
-    def __init__(self, root_dir: str, image_size: int, data_format: str = "PIL"):
+    def __init__(self, root_dir: str, image_size: int, data_format: str = "PIL",
+                 cache_mb: float = 0.0):
         self.root_dir = root_dir
         self.image_size = image_size
         self.data_format = data_format
         self.filenames = sorted(os.listdir(root_dir))
+        self._cache = DecodedCache(cache_mb) if cache_mb > 0 else None
 
     def __len__(self) -> int:
         return len(self.filenames)
 
     def __getitem__(self, idx: int):
+        if self._cache is not None:
+            arr = self._cache.get(idx)
+            if arr is not None:
+                return {"hr_u8": arr}
         y = _decode_rgb(
             os.path.join(self.root_dir, self.filenames[idx]), self.data_format, self.image_size
         )
         arr = np.asarray(y, np.uint8)
         if arr.ndim == 2:
             arr = arr[:, :, None]
+        if self._cache is not None:
+            self._cache.put(idx, arr)
         return {"hr_u8": arr}
 
 

@@ -26,6 +26,7 @@ __all__ = [
     "ssim",
     "save_image",
     "save_preview_grid",
+    "machine_scoped_cache_dir",
 ]
 
 
@@ -195,3 +196,19 @@ def save_preview_grid(
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     fig.savefig(path)
     plt.close(fig)
+
+
+def machine_scoped_cache_dir() -> str:
+    """Compilation-cache dir keyed by this machine's CPU signature: a cache
+    written on a different host must never be offered to XLA:CPU AOT here
+    (round-1 bench hit 'machine features mismatch' deserialization errors)."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            # only frequency-independent lines: model name + ISA feature flags
+            info = "".join(l for l in f if l.startswith(("model name", "flags")))
+        sig = hashlib.md5(info.encode()).hexdigest()[:10]
+    except OSError:
+        sig = "nocpuinfo"
+    return f"/tmp/jax_cache_{sig}"

@@ -237,3 +237,47 @@ def test_bsrgan_dataset_parallel_build_matches_serial(img_dir):
         np.testing.assert_array_equal(a[i]["x"], b[i]["x"])
     # different crops of the same file must differ (per-job seeds)
     assert not np.array_equal(a[0]["cond"], a[1]["cond"]) or not np.array_equal(a[0]["x"], a[1]["x"])
+
+
+def test_decoded_cache_is_bit_exact_and_bounded(tmp_path):
+    """DecodedCache: cached items identical to fresh decodes; budget caps
+    insertion; both datasets produce identical outputs with cache on/off."""
+    import numpy as np
+    from PIL import Image
+
+    from diffusionremotesensing_tpu.data.datasets import (
+        DecodedCache,
+        DecodeOnlyDataset,
+        SuperresDownBlurDataset,
+    )
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 255, (16, 16, 3), np.uint8)).save(d / f"i{i}.png")
+
+    plain = DecodeOnlyDataset(str(d), 16)
+    cached = DecodeOnlyDataset(str(d), 16, cache_mb=10)
+    for i in range(4):
+        np.testing.assert_array_equal(cached[i]["hr_u8"], plain[i]["hr_u8"])
+    for i in range(4):  # second epoch: served from cache, still identical
+        np.testing.assert_array_equal(cached[i]["hr_u8"], plain[i]["hr_u8"])
+    assert len(cached._cache._d) == 4
+
+    p0 = SuperresDownBlurDataset(str(d), 2, 0.5, image_size=16)
+    p1 = SuperresDownBlurDataset(str(d), 2, 0.5, image_size=16, cache_mb=10)
+    for i in range(4):
+        a, b = p0[i], p1[i]
+        np.testing.assert_array_equal(a["x"], b["x"])
+        np.testing.assert_array_equal(a["cond"], b["cond"])
+    # epoch 2 from cache
+    for i in range(4):
+        a, b = p0[i], p1[i]
+        np.testing.assert_array_equal(a["x"], b["x"])
+        np.testing.assert_array_equal(a["cond"], b["cond"])
+
+    tiny = DecodedCache(max_mb=0.001)  # 1 KB: one 768-byte item fits, next doesn't
+    tiny.put(0, np.zeros((16, 16, 3), np.uint8))
+    tiny.put(1, np.zeros((16, 16, 3), np.uint8))
+    assert 0 in tiny._d and 1 not in tiny._d

@@ -51,6 +51,10 @@ if __name__ == "__main__":
     parser.add_argument("--device_degradation", type=str2bool, nargs="?", const=True, default=False,
                         help="run the DownBlur degradation batched on the accelerator "
                              "(host decodes only; PIL-parity resize is bit-exact, blur within 2/255)")
+    parser.add_argument("--decode_cache_mb", type=float, default=512.0,
+                        help="RAM budget (MB) for caching decoded training images across "
+                             "epochs (bit-exact; decode is the few-core-host bottleneck). "
+                             "0 disables")
     parser.add_argument("--vgg19_weights", type=str, default=None,
                         help="torch state_dict of torchvision vgg19.features (pretrained weights for MSE+Perceptual_noise)")
     parser.add_argument("--allow_random_vgg", type=str2bool, nargs="?", const=True, default=False,
