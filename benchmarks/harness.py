@@ -275,7 +275,11 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true", help="skip aggregation bench")
     parser.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
-    parser.add_argument("--batch", type=int, default=BATCH)
+    parser.add_argument("--batch", type=int, default=BATCH,
+                        help="batch for the denoise/aggregation sections; "
+                             "northstar_tile always runs bench.py's adopted "
+                             "config and bench_train its own (see each "
+                             "section's config string)")
     args = parser.parse_args()
     globals()["BATCH"] = args.batch
 

@@ -109,7 +109,7 @@ def _load_eval_variables(snapshot: str):
 
 def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int = 1500,
              ddim_eta: float = 0.0, ddim_spacing: str = "linear",
-             ddim_clip_x0: bool = False):
+             ddim_clip_x0: bool = True):
     import jax
     import jax.numpy as jnp
     from PIL import Image
@@ -212,7 +212,9 @@ def prepare_sar(root: str, n_train: int = 600, n_val: int = 60, seed: int = 0) -
     print(f"SAR dataset at {root}: {n_train} train / {n_val} valid / 8 eval pairs")
 
 
-def evaluate_sar(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int = 1500):
+def evaluate_sar(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int = 1500,
+                 ddim_eta: float = 0.0, ddim_spacing: str = "linear",
+                 ddim_clip_x0: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -237,7 +239,11 @@ def evaluate_sar(root: str, snapshot: str, ddim_steps: int | None, noise_steps: 
     sar_hwc = sar.transpose(0, 2, 3, 1).astype(np.float32)   # [0,1], (B,H,W,2)
     gt_hwc = gt.transpose(0, 2, 3, 1).astype(np.float32)
 
-    sampler = proc.ddim_sampler(ddim_steps) if ddim_steps else proc.sampler()
+    sampler = (
+        proc.ddim_sampler(ddim_steps, ddim_eta, tau_spacing=ddim_spacing,
+                          clip_x0=ddim_clip_x0)
+        if ddim_steps else proc.sampler()
+    )
     key = jax.random.PRNGKey(5)
     x_T = jax.random.normal(jax.random.fold_in(key, 0), (n, SAR_SIZE, SAR_SIZE, 1))
     pred = sampler(variables, key, x_T, jnp.asarray(sar_hwc))
@@ -251,7 +257,12 @@ def evaluate_sar(root: str, snapshot: str, ddim_steps: int | None, noise_steps: 
 
     summary = {
         "snapshot": snapshot,
-        "sampler": f"DDIM-{ddim_steps}" if ddim_steps else f"DDPM T={noise_steps}",
+        "sampler": (
+            f"DDIM-{ddim_steps} eta={ddim_eta} {ddim_spacing}"
+            + (" clip_x0" if ddim_clip_x0 else "")
+            if ddim_steps
+            else f"DDPM T={noise_steps}"
+        ),
         "sar_psnr_db": psnr(pred, gt_hwc, data_range=1.0),
         "sar_ssim": ssim(pred, gt_hwc, data_range=1.0),
         "linear_baseline_psnr_db": psnr(lin, gt_hwc, data_range=1.0),
@@ -378,7 +389,11 @@ def main():
     p.add_argument("--ddim_eta", type=float, default=0.0)
     p.add_argument("--ddim_spacing", type=str, default="linear",
                    choices=["linear", "quadratic"])
-    p.add_argument("--ddim_clip_x0", action="store_true")
+    p.add_argument("--ddim_clip_x0",
+                   type=lambda v: str(v).lower() in ("yes", "true", "t", "1"),
+                   nargs="?", const=True, default=True,
+                   help="clamp the per-step DDIM x0 prediction (default on, "
+                        "matching the production surfaces; pass 'false' to disable)")
     p.add_argument("--noise_steps", type=int, default=1500)
     args = p.parse_args()
     if args.prepare:
@@ -392,7 +407,9 @@ def main():
                  ddim_clip_x0=args.ddim_clip_x0)
     if args.evaluate_sar:
         assert args.snapshot, "--evaluate_sar needs --snapshot"
-        evaluate_sar(args.evaluate_sar, args.snapshot, args.ddim_steps, args.noise_steps)
+        evaluate_sar(args.evaluate_sar, args.snapshot, args.ddim_steps, args.noise_steps,
+                     ddim_eta=args.ddim_eta, ddim_spacing=args.ddim_spacing,
+                     ddim_clip_x0=args.ddim_clip_x0)
     if args.prepare_gen:
         prepare_gen(args.prepare_gen)
     if args.evaluate_gen:

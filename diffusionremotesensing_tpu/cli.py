@@ -47,6 +47,17 @@ def _configure_platform() -> None:
 
 
 
+def _decode_cache(args):
+    """ONE DecodedCache shared by the train and val datasets so
+    --decode_cache_mb bounds TOTAL cache RAM, not per-dataset."""
+    mb = getattr(args, "decode_cache_mb", 0.0)
+    if not mb:
+        return None
+    from diffusionremotesensing_tpu.data.datasets import DecodedCache
+
+    return DecodedCache(mb)
+
+
 def _check_unet_type(name: str) -> None:
     """Reference launchers accept only the Residual Attention UNet (the two
     MultiHead variants are commented-out WIP in the reference,
@@ -247,21 +258,21 @@ def launch_superres(args) -> None:
                 from diffusionremotesensing_tpu.data.degradations import _Rng
 
                 blur_radius = _Rng(0).py.triangular(0.5, 1.5, 1)
-            cache_mb = getattr(args, "decode_cache_mb", 0.0)
-            train_ds = DecodeOnlyDataset(train_path, args.image_size, cache_mb=cache_mb)
-            val_ds = DecodeOnlyDataset(valid_path, args.image_size, cache_mb=cache_mb)
+            cache = _decode_cache(args)
+            train_ds = DecodeOnlyDataset(train_path, args.image_size, cache=cache)
+            val_ds = DecodeOnlyDataset(valid_path, args.image_size, cache=cache)
             batch_transform = make_downblur_transform(
                 args.image_size, args.magnification_factor, float(blur_radius)
             )
         else:
-            cache_mb = getattr(args, "decode_cache_mb", 0.0)
+            cache = _decode_cache(args)
             train_ds = SuperresDownBlurDataset(
                 train_path, args.magnification_factor, blur_radius, noise, "PIL",
-                args.image_size, cache_mb=cache_mb,
+                args.image_size, cache=cache,
             )
             val_ds = SuperresDownBlurDataset(
                 valid_path, args.magnification_factor, blur_radius, noise, "PIL",
-                args.image_size, cache_mb=cache_mb,
+                args.image_size, cache=cache,
             )
     elif deg == "bsrgan":
         train_ds = SuperresBSRGANDataset(
@@ -574,7 +585,7 @@ def launch_aggregation(args) -> None:
         out_dim=args.inp_out_channels,
         magnification_factor=args.magnification_factor,
         s2d=s2d,
-        tap44=(default_tap44() if tap44_arg == "auto" else
+        tap44=(default_tap44(device) if tap44_arg == "auto" else
                {"off": False, "conv2": "conv2", "full": True, "block": "block"}[tap44_arg])
         if s2d else False,
     )

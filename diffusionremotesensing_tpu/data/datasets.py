@@ -118,6 +118,7 @@ class SuperresDownBlurDataset:
         image_size: Optional[int] = None,
         seed: int = 0,
         cache_mb: float = 0.0,
+        cache: Optional["DecodedCache"] = None,
     ):
         self.root_dir = root_dir
         self.magnification_factor = magnification_factor
@@ -126,7 +127,11 @@ class SuperresDownBlurDataset:
         self.image_size = image_size
         self.filenames = sorted(os.listdir(root_dir))
         self._rng = _Rng(seed)
-        self._cache = DecodedCache(cache_mb) if cache_mb > 0 else None
+        # a shared DecodedCache keeps the byte budget global across the
+        # train/val datasets (keys are (root_dir, idx))
+        self._cache = cache if cache is not None else (
+            DecodedCache(cache_mb) if cache_mb > 0 else None
+        )
         if blur_radius == "random":
             blur_radius = self._rng.py.triangular(0.5, 1.5, 1)
         self.blur_radius = float(blur_radius)
@@ -139,7 +144,7 @@ class SuperresDownBlurDataset:
         cache when enabled (decode is the per-item cost the degradation
         doesn't dominate; see DecodedCache)."""
         if self._cache is not None:
-            arr = self._cache.get(idx)
+            arr = self._cache.get((self.root_dir, idx))
             if arr is not None:
                 return Image.fromarray(arr.squeeze())
         y = _decode_rgb(
@@ -147,7 +152,7 @@ class SuperresDownBlurDataset:
         )
         if self._cache is not None:
             arr = np.asarray(y, np.uint8)
-            self._cache.put(idx, arr if arr.ndim == 3 else arr[:, :, None])
+            self._cache.put((self.root_dir, idx), arr if arr.ndim == 3 else arr[:, :, None])
         return y
 
     def __getitem__(self, idx: int):
@@ -171,19 +176,21 @@ class DecodeOnlyDataset:
     data.device_degradation.make_downblur_transform."""
 
     def __init__(self, root_dir: str, image_size: int, data_format: str = "PIL",
-                 cache_mb: float = 0.0):
+                 cache_mb: float = 0.0, cache: Optional["DecodedCache"] = None):
         self.root_dir = root_dir
         self.image_size = image_size
         self.data_format = data_format
         self.filenames = sorted(os.listdir(root_dir))
-        self._cache = DecodedCache(cache_mb) if cache_mb > 0 else None
+        self._cache = cache if cache is not None else (
+            DecodedCache(cache_mb) if cache_mb > 0 else None
+        )
 
     def __len__(self) -> int:
         return len(self.filenames)
 
     def __getitem__(self, idx: int):
         if self._cache is not None:
-            arr = self._cache.get(idx)
+            arr = self._cache.get((self.root_dir, idx))
             if arr is not None:
                 return {"hr_u8": arr}
         y = _decode_rgb(
@@ -193,7 +200,7 @@ class DecodeOnlyDataset:
         if arr.ndim == 2:
             arr = arr[:, :, None]
         if self._cache is not None:
-            self._cache.put(idx, arr)
+            self._cache.put((self.root_dir, idx), arr)
         return {"hr_u8": arr}
 
 

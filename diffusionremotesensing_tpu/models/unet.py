@@ -577,14 +577,18 @@ class ResidualAttentionUNet(nn.Module):
         return out.astype(jnp.float32)
 
 
-def default_tap44() -> object:
+def default_tap44(device=None) -> object:
     """Default tap44 level for inference surfaces: the fused-block Pallas
-    kernel on TPU backends (measured −4% sampler step at the flagship shape,
+    kernel on TPU (measured −4% sampler step at the flagship shape,
     benchmarks/NOTES.md round-3), off elsewhere — interpret-mode Pallas
-    would slow CPU runs/tests. Opt out with tap44=False (bit-reference s2d
+    would slow CPU runs/tests. Pass the device the computation will be
+    COMMITTED to when it may differ from the default backend (e.g.
+    ``--device cpu`` on a TPU host — compiling the Mosaic kernel for a CPU
+    device would fail). Opt out with tap44=False (bit-reference s2d
     execution) wherever a surface forwards the kwarg."""
     try:
-        return "block" if jax.default_backend() == "tpu" else False
+        platform = device.platform if device is not None else jax.default_backend()
+        return "block" if platform == "tpu" else False
     except Exception:  # pragma: no cover - backend probing never raises in practice
         return False
 

@@ -40,7 +40,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from diffusionremotesensing_tpu.ops.tap_conv import _ORDER, _RS, _w2d
+from diffusionremotesensing_tpu.ops.tap_conv import _ORDER, _RS, _w2d, col_variants
 
 try:  # pallas is TPU/GPU-only; import lazily so CPU test envs still work
     from jax.experimental import pallas as pl
@@ -54,18 +54,6 @@ except Exception:  # pragma: no cover
 # their position k in _ORDER and the tap block tb=k%4 they carry. The
 # shortcut's weight rows are placed on exactly these rows of W1.
 _CENTER_K = [k for k, (r, s) in enumerate(_ORDER) if r in (1, 2) and s in (1, 2)]
-
-
-def _col_variants(t: jax.Array):
-    """Column-shift variants (cols -1..W-2 / 0..W-1 / 1..W) of a tile,
-    built with roll+mask so every variant keeps sublane offset 0 (slicing
-    the column dim directly produces mismatched sublane offsets Mosaic
-    refuses to concatenate — see ops/tap_conv.py)."""
-    W = t.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
-    cm1 = jnp.where(col > 0, jnp.roll(t, 1, axis=1), 0)
-    cp1 = jnp.where(col < W - 1, jnp.roll(t, -1, axis=1), 0)
-    return {0: cm1, 1: t, 2: cp1}
 
 
 def _im2col_rows(variants, h_row0: int, n_rows: int, C: int):
@@ -111,7 +99,7 @@ def _tap_block_kernel(
     # H2+2 of rp2 are the conv's SAME zero padding, rows 0 / H2+3 are only
     # read for h-slab rows that get masked to zero below.
     rp2 = jnp.pad(x, ((2, 2), (0, 0), (0, 0)))
-    xvar = _col_variants(rp2)
+    xvar = col_variants(rp2)
 
     # ---- h-slab: rows [r0-1, r0+ROWS+1) of h = relu(conv1')+skip+te ----
     # static slices per half (half is two-valued; Mosaic has no value
@@ -131,7 +119,7 @@ def _tap_block_kernel(
     h = jnp.where((rows_glob >= 0) & (rows_glob < H2), h, 0.0).astype(dt)
 
     # ---- conv2 over output rows [r0, r0+ROWS): static slab slices ------
-    hvar = _col_variants(h)
+    hvar = col_variants(h)
     pieces = []
     for (r, s) in _ORDER:
         ar, qi = _RS[r]

@@ -69,22 +69,32 @@ def _w2d(w44: jax.Array) -> jax.Array:
     return jnp.concatenate([w44[r, s] for (r, s) in _ORDER], axis=0)
 
 
+def col_variants(t: jax.Array):
+    """Column-shift variants (cols -1..W-2 / 0..W-1 / 1..W) of a tile,
+    built with roll+mask so every variant keeps SUBLANE OFFSET 0 — slicing
+    the column (sublane) dim directly yields mismatched offsets that
+    Mosaic's tpu.concatenate rejects ('result/input offset mismatch on
+    non-concat dimension'). Shared by tap_conv and tap_block; this is the
+    canonical home of the layout rule."""
+    W = t.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
+    cm1 = jnp.where(col > 0, jnp.roll(t, 1, axis=1), 0)
+    cp1 = jnp.where(col < W - 1, jnp.roll(t, -1, axis=1), 0)
+    return {0: cm1, 1: t, 2: cp1}
+
+
 def _im2col_s2d44(tile: jax.Array) -> jax.Array:
     """(H2, W2, 4C) s2d tile -> (H2, W2, 16C) im2col channels for the 4x4
     stride-2 window, piece order _ORDER (see _w2d).
 
     Layout discipline (the whole point of this formulation): row shifts ride
     the untiled leading dim (free slices of the row-padded tile); column
-    shifts are built as THREE whole-tile variants via roll+mask so every
-    piece keeps sublane offset 0; lane slices keep their native 32*tb offset
-    which _ORDER makes equal to the destination offset."""
+    shifts via :func:`col_variants`; lane slices keep their native 32*tb
+    offset which _ORDER makes equal to the destination offset."""
     H2, W2, C4 = tile.shape
     C = C4 // 4
     rp = jnp.pad(tile, ((1, 1), (0, 0), (0, 0)))  # s2d rows -1..H2
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, W2, 1), 1)
-    cm1 = jnp.where(col > 0, jnp.roll(rp, 1, axis=1), 0)        # cols -1..W2-2
-    cp1 = jnp.where(col < W2 - 1, jnp.roll(rp, -1, axis=1), 0)  # cols 1..W2
-    variants = {0: cm1, 1: rp, 2: cp1}
+    variants = col_variants(rp)
     pieces = []
     for (r, s) in _ORDER:
         ar, qi = _RS[r]

@@ -75,7 +75,7 @@ def super_resolver(lr_img: np.ndarray, device=None, model_name: str = "", key=No
         # (tests/test_s2d_model.py), ~1.6x faster; pass s2d=False for the
         # bit-reference path. tap44: fused-block Pallas kernel on TPU.
         s2d=s2d,
-        tap44=default_tap44() if s2d else False,
+        tap44=default_tap44(device) if s2d else False,
     )
     variables = _load_variables(model_name, device)
     proc = make_process(model, "cosine", 1500, image_size)
@@ -112,7 +112,7 @@ def SAR_to_NDVI_generator(SAR_img_path: str, device=None, n_generations: int = 1
 
     model = residual_attention_unet_sar_to_ndvi(
         sar_channels=SAR_channels, ndvi_channels=NDVI_channels, s2d=s2d,
-        tap44=default_tap44() if s2d else False,
+        tap44=default_tap44(device) if s2d else False,
     )
     variables = _load_variables(model_name, device)
     proc = make_process(model, "cosine", 1500, image_size)
