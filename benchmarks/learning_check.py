@@ -93,6 +93,13 @@ def _degrade_lr(hr_u8: np.ndarray) -> np.ndarray:
     return np.asarray(lr, np.float32) / 255.0
 
 
+def _sampler_label(ddim_steps, noise_steps, eta, spacing, clip_x0) -> str:
+    if not ddim_steps:
+        return f"DDPM T={noise_steps}"
+    return (f"DDIM-{ddim_steps} eta={eta} {spacing}"
+            + (" clip_x0" if clip_x0 else ""))
+
+
 def _load_eval_variables(snapshot: str):
     """Shared evaluate* setup: TPU compile cache + snapshot -> flax variables."""
     import jax
@@ -116,13 +123,14 @@ def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int 
 
     from diffusionremotesensing_tpu.aggregation import AggregationSampler
     from diffusionremotesensing_tpu.diffusion import make_process
-    from diffusionremotesensing_tpu.models.unet import residual_attention_unet_superres
+    from diffusionremotesensing_tpu.models.unet import (
+        default_tap44,
+        residual_attention_unet_superres,
+    )
     from diffusionremotesensing_tpu.ops.resize import upsample_bicubic
     from diffusionremotesensing_tpu.utils import psnr, ssim
 
     variables = _load_eval_variables(snapshot)
-    from diffusionremotesensing_tpu.models.unet import default_tap44
-
     model = residual_attention_unet_superres(
         magnification_factor=MAG, dtype=jnp.bfloat16, s2d=True, tap44=default_tap44()
     )
@@ -152,12 +160,8 @@ def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int 
         )
     summary = {
         "snapshot": snapshot,
-        "sampler": (
-            f"DDIM-{ddim_steps} eta={ddim_eta} {ddim_spacing}"
-            + (" clip_x0" if ddim_clip_x0 else "")
-            if ddim_steps
-            else f"DDPM T={noise_steps}"
-        ),
+        "sampler": _sampler_label(ddim_steps, noise_steps, ddim_eta,
+                                  ddim_spacing, ddim_clip_x0),
         "tiles": rows,
         "mean_sr_psnr_db": float(np.mean([r["sr_psnr_db"] for r in rows])),
         "mean_bicubic_psnr_db": float(np.mean([r["bicubic_psnr_db"] for r in rows])),
@@ -220,13 +224,12 @@ def evaluate_sar(root: str, snapshot: str, ddim_steps: int | None, noise_steps: 
 
     from diffusionremotesensing_tpu.diffusion import make_process
     from diffusionremotesensing_tpu.models.unet import (
+        default_tap44,
         residual_attention_unet_sar_to_ndvi,
     )
     from diffusionremotesensing_tpu.utils import psnr, ssim
 
     variables = _load_eval_variables(snapshot)
-    from diffusionremotesensing_tpu.models.unet import default_tap44
-
     model = residual_attention_unet_sar_to_ndvi(
         dtype=jnp.bfloat16, s2d=True, tap44=default_tap44()
     )
@@ -257,12 +260,8 @@ def evaluate_sar(root: str, snapshot: str, ddim_steps: int | None, noise_steps: 
 
     summary = {
         "snapshot": snapshot,
-        "sampler": (
-            f"DDIM-{ddim_steps} eta={ddim_eta} {ddim_spacing}"
-            + (" clip_x0" if ddim_clip_x0 else "")
-            if ddim_steps
-            else f"DDPM T={noise_steps}"
-        ),
+        "sampler": _sampler_label(ddim_steps, noise_steps, ddim_eta,
+                                  ddim_spacing, ddim_clip_x0),
         "sar_psnr_db": psnr(pred, gt_hwc, data_range=1.0),
         "sar_ssim": ssim(pred, gt_hwc, data_range=1.0),
         "linear_baseline_psnr_db": psnr(lin, gt_hwc, data_range=1.0),
@@ -341,12 +340,11 @@ def evaluate_gen(snapshot: str, n_per_class: int = 16, noise_steps: int = 1500,
 
     from diffusionremotesensing_tpu.diffusion import make_process
     from diffusionremotesensing_tpu.models.unet import (
+        default_tap44,
         residual_attention_unet_generation,
     )
 
     variables = _load_eval_variables(snapshot)
-    from diffusionremotesensing_tpu.models.unet import default_tap44
-
     model = residual_attention_unet_generation(
         num_classes=len(GEN_CLASSES), dtype=jnp.bfloat16, s2d=True,
         tap44=default_tap44(),

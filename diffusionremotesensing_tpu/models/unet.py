@@ -378,8 +378,6 @@ class ResidualAttentionUNet(nn.Module):
         # code path is test-covered on CPU.
         use_tap = bool(self.tap44) and not train
         if use_tap:
-            from diffusionremotesensing_tpu.ops.tap_conv import tap_conv, tap_conv_pair
-
             interp = jax.default_backend() != "tpu"
         blk = self.conv_blocks[0]
         if use_tap and self.tap44 == "block":
@@ -392,6 +390,8 @@ class ResidualAttentionUNet(nn.Module):
                     h_s, jnp.tile(te, (1, 4)), kern["tap_block"], interpret=interp
                 )
             return self._forward_s2d_tail(res0_s, t_emb, train, kern, s2d_io, dt, updates)
+        if use_tap:
+            from diffusionremotesensing_tpu.ops.tap_conv import tap_conv, tap_conv_pair
         if use_tap and self.tap44 is True:
             with jax.named_scope("s2d.tap_conv1_skip"):
                 h, h_sk = tap_conv_pair(
