@@ -333,7 +333,22 @@ def classify_by_pattern(imgs: np.ndarray) -> np.ndarray:
     return scores.argmax(axis=1)
 
 
-def evaluate_gen(snapshot: str, n_per_class: int = 16, noise_steps: int = 1500,
+def _color_diversity(imgs: np.ndarray, labels: np.ndarray, n_classes: int) -> float:
+    """Within-class diversity statistic: the std (over samples of one class)
+    of each image's mean RGB, averaged over classes and channels. The class
+    pattern is fixed but the two colors are drawn per image, so a healthy
+    model shows diversity comparable to the dataset; within-class mode
+    collapse (all samples converging to one coloring) drives this toward 0
+    while leaving classification accuracy untouched — the failure mode the
+    round-2 gate could not see."""
+    vals = []
+    for c in range(n_classes):
+        m = imgs[labels == c].mean(axis=(1, 2))   # (n, 3) per-image mean RGB
+        vals.append(m.std(axis=0).mean())
+    return float(np.mean(vals))
+
+
+def evaluate_gen(snapshot: str, n_per_class: int = 32, noise_steps: int = 1500,
                  cfg_scale: float = 3.0):
     import jax
     import jax.numpy as jnp
@@ -362,13 +377,42 @@ def evaluate_gen(snapshot: str, n_per_class: int = 16, noise_steps: int = 1500,
         GEN_CLASSES[c]: float((pred[labels == c] == c).mean())
         for c in range(len(GEN_CLASSES))
     }
+    # diversity gate: within-class color spread vs the DATASET's own
+    # (reference images drawn from the same generator, no files needed).
+    # Measured at cfg_scale=1 (pure conditional): guidance deliberately
+    # trades diversity for fidelity (measured on the round-2 snapshot:
+    # ratio 0.34 at CFG-3 but 0.92 at CFG-1 with identical 99.2% accuracy),
+    # so the CFG-3 samples would conflate that tradeoff with the mode
+    # collapse this gate exists to catch.
+    out_nc = proc.sample(
+        variables, jax.random.PRNGKey(13), len(labels),
+        cond=jnp.asarray(labels), cfg_scale=1.0,
+    )
+    imgs_nc = np.clip(np.asarray(out_nc), 0.0, 1.0)
+    rng = np.random.default_rng(23)
+    ref_imgs, ref_labels = [], []
+    for c, name in enumerate(GEN_CLASSES):
+        for _ in range(n_per_class):
+            ref_imgs.append(_gen_image(rng, name).astype(np.float32) / 255.0)
+            ref_labels.append(c)
+    div_data = _color_diversity(
+        np.stack(ref_imgs), np.asarray(ref_labels), len(GEN_CLASSES)
+    )
+    diversity_ratio = _color_diversity(imgs_nc, labels, len(GEN_CLASSES)) / max(
+        div_data, 1e-9
+    )
     summary = {
         "snapshot": snapshot,
         "sampler": f"DDPM T={noise_steps}, CFG {cfg_scale}",
         "accuracy": acc,
         "chance": 1.0 / len(GEN_CLASSES),
         "per_class_accuracy": per_class,
-        "passes": acc >= 0.9,
+        "color_diversity_cfg_sampled": _color_diversity(imgs, labels, len(GEN_CLASSES)),
+        "color_diversity_data": div_data,
+        "diversity_ratio_cfg1": diversity_ratio,
+        # both gates: classification far above chance (at the reference's
+        # CFG-3) AND no within-class color mode collapse (at CFG-1)
+        "passes": acc >= 0.9 and diversity_ratio >= 0.5,
     }
     print(json.dumps(summary, indent=2))
     return summary

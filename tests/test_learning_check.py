@@ -82,3 +82,28 @@ def test_pattern_classifier_is_reliable_on_real_class_images():
             labels.append(c)
     pred = classify_by_pattern(np.stack(imgs))
     assert (pred == np.asarray(labels)).mean() == 1.0
+
+
+def test_color_diversity_detects_mode_collapse():
+    """The diversity statistic must separate healthy per-image color draws
+    from within-class collapse (all samples identical colors)."""
+    from benchmarks.learning_check import GEN_CLASSES, _color_diversity, _gen_image
+
+    rng = np.random.default_rng(9)
+    imgs, labels = [], []
+    for c, name in enumerate(GEN_CLASSES):
+        for _ in range(8):
+            imgs.append(_gen_image(rng, name).astype(np.float32) / 255.0)
+            labels.append(c)
+    healthy = _color_diversity(np.stack(imgs), np.asarray(labels), len(GEN_CLASSES))
+
+    # collapsed: one fixed image per class, repeated
+    col_imgs, col_labels = [], []
+    for c, name in enumerate(GEN_CLASSES):
+        fixed = _gen_image(np.random.default_rng(c), name).astype(np.float32) / 255.0
+        for _ in range(8):
+            col_imgs.append(fixed)
+            col_labels.append(c)
+    collapsed = _color_diversity(np.stack(col_imgs), np.asarray(col_labels), len(GEN_CLASSES))
+    assert healthy > 0.05
+    assert collapsed < 0.2 * healthy
