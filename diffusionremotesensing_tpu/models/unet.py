@@ -44,10 +44,10 @@ from diffusionremotesensing_tpu.ops.resize import upsample_bicubic
 
 
 
-def _named_conv(label, x, w, padding, dt):
+def _named_conv(label, x, w, padding, dt, strides=(1, 1)):
     with jax.named_scope(label):
         from diffusionremotesensing_tpu.ops.s2d import conv_s2d as _c
-        return _c(x, w, padding, dt)
+        return _c(x, w, padding, dt, strides=strides)
 
 class ResidualAttentionUNet(nn.Module):
     """Conditioning-parameterized Residual Attention UNet (epsilon-predictor).
@@ -91,7 +91,12 @@ class ResidualAttentionUNet(nn.Module):
     # Tap-structured Pallas conv for the s2d level-0 3x3s (ops/tap_conv.py):
     # skips the dense-s2d kernels' 75% structural-zero MACs via an in-VMEM
     # im2col (1.78x reference MACs instead of 4x). False | 'conv2' (only
-    # blk_conv2, the profiled #1 op) | True (conv2 + the conv1/skip pair).
+    # blk_conv2, the profiled #1 op) | True (conv2 + the conv1/skip pair)
+    # | 'block' (whole ResConvBlock-0 as one fused kernel, ops/tap_block.py)
+    # | 'l1' ('block' plus fused s2d execution of level 1: s2d-emitting
+    # down0, fused ResConvBlock-1, s2d down1/attention1 — measured 4% SLOWER
+    # end-to-end than 'block' on TPU v5e; the d2s relayout of the s2d
+    # attention-1 output dominates. Kept opt-in; benchmarks/NOTES.md round-3).
     # Exact math (golden tests); runs interpreted automatically off-TPU.
     tap44: object = False
 
@@ -240,7 +245,7 @@ class ResidualAttentionUNet(nn.Module):
             "att_wx": k2s2_to_1x1(self._p(att, "w_x", "conv", "kernel")),
             "att_rc": k1_to_blockdiag(self._p(att, "result_conv", "conv", "kernel")),
         }
-        if self.tap44 == "block":
+        if self.tap44 in ("block", "l1"):
             # monolithic fused ResConvBlock-0 kernel (ops/tap_block.py):
             # BN_0/BN_1/BN_2 fold into the conv weights here, so these are
             # functions of params AND batch_stats (still loop-invariant)
@@ -265,6 +270,31 @@ class ResidualAttentionUNet(nn.Module):
                 self._p(blk, "shortcut_conv", "conv", "bias"),
                 bn(blk, "BatchNorm_2"),
             )
+            if self.tap44 == "l1":
+                # fused level-1 execution: down0 re-blocked to EMIT s2d, the
+                # level-1 ResConvBlock as a second fused tap_block (its parity
+                # skip conv is unused there — blocks.py:199-204), down1 and
+                # attention1 consuming s2d via the existing transforms
+                from diffusionremotesensing_tpu.ops.s2d import kdown_to_s2d_out
+
+                blk1, att1 = self.conv_blocks[1], self.attentions[1]
+                k["down0_s2d"] = kdown_to_s2d_out(k["down0"])
+                k["tap_block1"] = build_block_weights(
+                    self._p(blk1, "conv1", "conv", "kernel"),
+                    self._p(blk1, "conv1", "conv", "bias"),
+                    bn(blk1, "BatchNorm_0"),
+                    None,
+                    None,
+                    self._p(blk1, "conv2", "conv", "kernel"),
+                    self._p(blk1, "conv2", "conv", "bias"),
+                    bn(blk1, "BatchNorm_1"),
+                    self._p(blk1, "shortcut_conv", "conv", "kernel"),
+                    self._p(blk1, "shortcut_conv", "conv", "bias"),
+                    bn(blk1, "BatchNorm_2"),
+                )
+                k["down1_s2d"] = k3s2_to_s2d(self._p(self.downs[1], "conv", "kernel"))
+                k["att1_wx"] = k2s2_to_1x1(self._p(att1, "w_x", "conv", "kernel"))
+                k["att1_rc"] = k1_to_blockdiag(self._p(att1, "result_conv", "conv", "kernel"))
         elif self.tap44:
             # tap-structured variants for the Pallas path (measured −29% on
             # blk_conv2 standalone at the flagship shape, NOTES.md round-3)
@@ -380,7 +410,7 @@ class ResidualAttentionUNet(nn.Module):
         if use_tap:
             interp = jax.default_backend() != "tpu"
         blk = self.conv_blocks[0]
-        if use_tap and self.tap44 == "block":
+        if use_tap and self.tap44 in ("block", "l1"):
             # whole ResConvBlock-0 in one fused kernel; skip to down0
             from diffusionremotesensing_tpu.ops.tap_block import tap_block
 
@@ -419,6 +449,26 @@ class ResidualAttentionUNet(nn.Module):
         res0_s = nn.relu(s + h)
         return self._forward_s2d_tail(res0_s, t_emb, train, kern, s2d_io, dt, updates)
 
+    def _attention_s2d(self, att, x_s2d, g, wx_kern, rc_kern, dt, train,
+                       updates, stats_name, label):
+        """AttentionGate with the skip input in s2d layout (blocks.py:217-266
+        semantics; reference /root/reference/UNet_model_superres.py:57-108):
+        w_x's 2x2/s2 conv == one 1x1 conv over the 4 taps (k2s2_to_1x1),
+        psi's nearest x2 upsample == broadcast over the taps, result_conv ==
+        block-diagonal 1x1. Returns the gated result in s2d layout."""
+        g1 = _named_conv(f"{label}_wg", g, self._p(att, "w_g", "conv", "kernel"), "VALID", dt)
+        g1 = g1 + self._p(att, "w_g", "conv", "bias").astype(dt)
+        x1 = _named_conv(f"{label}_wx", x_s2d, wx_kern, "VALID", dt) + self._p(
+            att, "w_x", "conv", "bias"
+        ).astype(dt)
+        psi = nn.relu(g1 + x1)
+        psi = _named_conv(f"{label}_psi", psi, self._p(att, "psi", "conv", "kernel"), "VALID", dt)
+        psi = nn.sigmoid(psi + self._p(att, "psi", "conv", "bias").astype(dt))
+        attn_s = _named_conv(f"{label}_rc", x_s2d * psi, rc_kern, "VALID", dt) + jnp.tile(
+            self._p(att, "result_conv", "conv", "bias"), 4
+        ).astype(dt)
+        return self._bn_s2d(attn_s, att, "BatchNorm_0", dt, train, updates, stats_name)
+
     def _forward_s2d_tail(self, res0_s, t_emb, train, kern, s2d_io, dt, updates):
         """Everything after ResConvBlock-0: down0, levels 1+, up stage 2 and
         the composed head — shared by the XLA/tap_conv path and the fused
@@ -428,42 +478,72 @@ class ResidualAttentionUNet(nn.Module):
         SAME = ((1, 1), (1, 1))
         tile = lambda a: jnp.tile(a, 4).astype(dt)  # noqa: E731
 
-        # ---- down0: 3x3 stride-2 conv == 2x2 s2d conv; output leaves s2d
-        h = _named_conv("s2d.down0", res0_s, kern["down0"], ((1, 0), (1, 0)), dt) + self._p(
-            self.downs[0], "conv", "bias"
-        ).astype(dt)
+        use_l1 = self.tap44 == "l1" and not train
+        res1 = res1_s = None
+        if use_l1:
+            # ---- fused level-1 (tap44='l1'): down0 re-blocked to emit the
+            # s2d of ITS OUTPUT (1.14x MACs for 4x output lanes), the level-1
+            # ResConvBlock as a second fused tap_block kernel, down1 via the
+            # stride-2 s2d transform (emits the normal level-2 input directly)
+            from diffusionremotesensing_tpu.ops.tap_block import tap_block
 
-        # ---- levels 1+ through the ordinary modules
-        residual_inputs = []
-        for i in (1, 2):
-            h = self.conv_blocks[i](h, t_emb, None, train=train)
-            residual_inputs.append(h)
-            h = self.downs[i](h)
+            interp = jax.default_backend() != "tpu"
+            blk1 = self.conv_blocks[1]
+            b1_in = _named_conv(
+                "s2d.down0s", res0_s, kern["down0_s2d"], ((1, 0), (1, 0)), dt,
+                strides=(2, 2),
+            ) + tile(self._p(self.downs[0], "conv", "bias"))
+            te1 = self._time_bias(blk1, t_emb.astype(dt), dt)
+            with jax.named_scope("s2d.tap_block1"):
+                res1_s = tap_block(
+                    b1_in, jnp.tile(te1, (1, 4)), kern["tap_block1"],
+                    interpret=interp,
+                )
+            h = _named_conv(
+                "s2d.down1", res1_s, kern["down1_s2d"], ((1, 0), (1, 0)), dt
+            ) + self._p(self.downs[1], "conv", "bias").astype(dt)
+        else:
+            # ---- down0: 3x3 stride-2 conv == 2x2 s2d conv; output leaves s2d
+            h = _named_conv("s2d.down0", res0_s, kern["down0"], ((1, 0), (1, 0)), dt) + self._p(
+                self.downs[0], "conv", "bias"
+            ).astype(dt)
+            res1 = h = self.conv_blocks[1](h, t_emb, None, train=train)
+            h = self.downs[1](h)
+
+        # ---- level 2 and bottleneck through the ordinary modules
+        res2 = h = self.conv_blocks[2](h, t_emb, None, train=train)
+        h = self.downs[2](h)
         h = self.bottle_neck(h, t_emb, None, train=train)
-        for i in range(2):
-            g = self.gatings[i](h, train=train)
-            attn = self.attentions[i](residual_inputs[-(i + 1)], g, train=train)
-            h = self.ups[i](h, t_emb, train=train)
-            h = jnp.concatenate([h, attn], axis=-1)
-            h = self.up_convs[i](h)
+
+        # ---- up stage 0 (level-2 skip)
+        g = self.gatings[0](h, train=train)
+        attn = self.attentions[0](res2, g, train=train)
+        h = self.ups[0](h, t_emb, train=train)
+        h = jnp.concatenate([h, attn], axis=-1)
+        h = self.up_convs[0](h)
+
+        # ---- up stage 1 (level-1 skip; s2d attention when fused)
+        g = self.gatings[1](h, train=train)
+        if use_l1:
+            attn = depth_to_space(
+                self._attention_s2d(
+                    self.attentions[1], res1_s, g, kern["att1_wx"],
+                    kern["att1_rc"], dt, train, updates, "attention1",
+                    "s2d.att1",
+                )
+            )
+        else:
+            attn = self.attentions[1](res1, g, train=train)
+        h = self.ups[1](h, t_emb, train=train)
+        h = jnp.concatenate([h, attn], axis=-1)
+        h = self.up_convs[1](h)
 
         # ---- up stage 2: gate + UpConvBlock + concat-conv, level-0 in s2d
         g = self.gatings[2](h, train=train)
-        att = self.attentions[2]
-        g1 = _named_conv("s2d.att_wg", g, self._p(att, "w_g", "conv", "kernel"), "VALID", dt)
-        g1 = g1 + self._p(att, "w_g", "conv", "bias").astype(dt)
-        # 2x2/s2 conv on the s2d skip == one 1x1 conv (4C contraction)
-        x1 = _named_conv("s2d.att_wx", res0_s, kern["att_wx"], "VALID", dt) + self._p(
-            att, "w_x", "conv", "bias"
-        ).astype(dt)
-        psi = nn.relu(g1 + x1)
-        psi = _named_conv("s2d.att_psi", psi, self._p(att, "psi", "conv", "kernel"), "VALID", dt)
-        psi = nn.sigmoid(psi + self._p(att, "psi", "conv", "bias").astype(dt))
-        # nearest x2 upsample of psi == broadcast over the 4 taps in s2d
-        attn_s = _named_conv("s2d.att_rc", res0_s * psi, kern["att_rc"], "VALID", dt) + tile(
-            self._p(att, "result_conv", "conv", "bias")
+        attn_s = self._attention_s2d(
+            self.attentions[2], res0_s, g, kern["att_wx"], kern["att_rc"],
+            dt, train, updates, "attention2", "s2d.att",
         )
-        attn_s = self._bn_s2d(attn_s, att, "BatchNorm_0", dt, train, updates, "attention2")
 
         up = self.ups[2]
         te = self._time_bias(up, t_emb.astype(dt), dt)

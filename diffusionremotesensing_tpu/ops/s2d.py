@@ -43,6 +43,7 @@ __all__ = [
     "k3s2_to_s2d",
     "k2s2_to_1x1",
     "kT_to_s2d",
+    "kdown_to_s2d_out",
     "conv_s2d",
     "conv_s2d44",
 ]
@@ -207,13 +208,37 @@ def kT_to_s2d(k: jax.Array) -> jax.Array:
     return ws
 
 
-def conv_s2d(x, w, padding, dtype=None):
-    """stride-1 conv helper in NHWC/HWIO with explicit padding."""
+def kdown_to_s2d_out(w2: jax.Array) -> jax.Array:
+    """Down-conv s2d kernel (2,2,4Ci,Co) (from :func:`k3s2_to_s2d`) ->
+    (3,3,4Ci,4Co) emitting the SPACE-TO-DEPTH of the down conv's output:
+    apply at stride (2,2) with padding ((1,0),(1,0)) on the s2d input.
+
+    Derivation: output tap (di,dj) of s2d-out pixel (I,J) is the down conv's
+    output at (2I+di, 2J+dj) = sum_{p,q in 0,1} W2[p,q] x_s2d[2I+di-1+p, ...],
+    so window position r = di+p in {0,1,2} carries W2[r-di, s-dj] into output
+    tap block 2di+dj. MACs: 9/8 of the (2,2) form (1.14x the reference
+    stride-2 conv) for 4x output-lane occupancy — the down conv's output
+    channel count (32 at level 0) is the narrowest tensor in the s2d tail."""
+    ci4, co = w2.shape[2], w2.shape[3]
+    ws = jnp.zeros((3, 3, ci4, 4 * co), w2.dtype)
+    for di in range(2):
+        for dj in range(2):
+            t = 2 * di + dj
+            for p in range(2):
+                for q in range(2):
+                    ws = ws.at[di + p, dj + q, :, t * co : (t + 1) * co].set(
+                        w2[p, q]
+                    )
+    return ws
+
+
+def conv_s2d(x, w, padding, dtype=None, strides=(1, 1)):
+    """conv helper in NHWC/HWIO with explicit padding (stride 1 default)."""
     dt = dtype or x.dtype
     return jax.lax.conv_general_dilated(
         x.astype(dt),
         w.astype(dt),
-        window_strides=(1, 1),
+        window_strides=strides,
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )

@@ -93,6 +93,10 @@ def _tap_block_kernel(
     SLAB = ROWS + 2
     r0 = half * ROWS
     dt = out_ref.dtype
+    # w1 is [conv1'|skip|shortcut'] (blocks 1+2 fed) or [conv1'|shortcut']
+    # (levels 1+: the parity skip conv exists but is never applied,
+    # models/blocks.py:199-204) — static from the weight shape
+    has_skip = w1_ref.shape[1] // CO4 == 3
 
     x = x_ref[0]
     # 2-row zero pad so every dynamic h-slab row start is >= 0; rows 1 and
@@ -113,7 +117,9 @@ def _tap_block_kernel(
         X1, w1_ref[:], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )                                                        # (SLAB, W2, 3*CO4)
     c1 = jnp.maximum(Y[..., :CO4] + b1_ref[0], 0.0)
-    h = c1 + Y[..., CO4 : 2 * CO4] + bsk_ref[0] + te_ref[0, 0, :]
+    if has_skip:
+        c1 = c1 + Y[..., CO4 : 2 * CO4] + bsk_ref[0]
+    h = c1 + te_ref[0, 0, :]
     # zero h rows outside [0, H2): doubles as conv2's SAME zero padding
     rows_glob = r0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (SLAB, 1, 1), 0)
     h = jnp.where((rows_glob >= 0) & (rows_glob < H2), h, 0.0).astype(dt)
@@ -130,21 +136,23 @@ def _tap_block_kernel(
     c2 = jax.lax.dot_general(
         X2, w2_ref[:], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) + b2_ref[0]
-    s = Y[1 : 1 + ROWS, :, 2 * CO4 :] + bsh_ref[0]
+    s = Y[1 : 1 + ROWS, :, w1_ref.shape[1] - CO4 :] + bsh_ref[0]
     out_ref[0] = jnp.maximum(c2 + s, 0.0).astype(dt)
 
 
 def build_block_weights(
     w_conv1, b_conv1, bn0,      # (3,3,Ci,Co), (Co,), {'scale','bias','mean','var'}
-    w_skip, b_skip,             # (3,3,Ci,Co), (Co,)
+    w_skip, b_skip,             # (3,3,Ci,Co), (Co,) — None when the block's
+                                # parity skip conv is unused (levels 1+)
     w_conv2, b_conv2, bn1,      # (3,3,Co,Co), (Co,)
     w_short, b_short, bn2,      # (1,1,Ci,Co), (Co,)
     eps: float = 1e-5,
 ):
     """Fold the three inference BatchNorms and assemble the kernel weights.
 
-    Returns dict {w1 (16Ci, 3*4Co), w2 (16Co, 4Co), b1, bsk, bsh, b2
-    (each (4Co,))} in f32 (caller casts to the compute dtype)."""
+    Returns dict {w1 (16Ci, 3*4Co) — or (16Ci, 2*4Co) without the skip
+    branch — w2 (16Co, 4Co), b1, bsk, bsh, b2 (each (4Co,))} in f32
+    (caller casts to the compute dtype)."""
     from diffusionremotesensing_tpu.ops.s2d import k3_to_s2d44
 
     def fold(w, b, bn):
@@ -156,20 +164,22 @@ def build_block_weights(
     w2f, b2f = fold(w_conv2, b_conv2, bn1)
     wshf, bshf = fold(w_short[0, 0], b_short, bn2)   # (Ci, Co)
 
-    w1_conv1 = _w2d(k3_to_s2d44(w1f))                # (16Ci, 4Co)
-    w1_skip = _w2d(k3_to_s2d44(w_skip))
+    w1_parts = [_w2d(k3_to_s2d44(w1f))]              # (16Ci, 4Co)
+    if w_skip is not None:
+        w1_parts.append(_w2d(k3_to_s2d44(w_skip)))
     w1_short = jnp.zeros((16 * ci, 4 * co), w_conv1.dtype)
     for k in _CENTER_K:                              # piece k carries tap k%4
         t = k % 4
         w1_short = w1_short.at[
             k * ci : (k + 1) * ci, t * co : (t + 1) * co
         ].set(wshf)
+    w1_parts.append(w1_short)
     tile = lambda v: jnp.tile(v, 4)  # noqa: E731
     return {
-        "w1": jnp.concatenate([w1_conv1, w1_skip, w1_short], axis=1),
+        "w1": jnp.concatenate(w1_parts, axis=1),
         "w2": _w2d(k3_to_s2d44(w2f)),
         "b1": tile(b1f),
-        "bsk": tile(b_skip),
+        "bsk": tile(b_skip if b_skip is not None else jnp.zeros_like(b_conv1)),
         "bsh": tile(bshf),
         "b2": tile(b2f),
     }
@@ -203,7 +213,7 @@ def tap_block(x_s2d, te4, bw, interpret: bool = False):
             (1, ROWS, W2, CO4), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * H2 * W2 * (16 * x_s2d.shape[3] // 4 * 3 * CO4
+            flops=2 * B * H2 * W2 * (16 * x_s2d.shape[3] // 4 * bw["w1"].shape[1]
                                      + 16 * CO4 // 4 * CO4),
             bytes_accessed=(x_s2d.size + B * H2 * W2 * CO4) * dt.itemsize,
             transcendentals=0,

@@ -14,6 +14,7 @@ from diffusionremotesensing_tpu.ops.s2d import (
     k3_to_s2d,
     k3s2_to_s2d,
     kT_to_s2d,
+    kdown_to_s2d_out,
     s2d_concat,
     space_to_depth,
 )
@@ -67,6 +68,20 @@ def test_k3s2_matches_strided_conv():
     w = _rand(8, (3, 3, ci, co)) * 0.1
     want = _conv(x, w, 2, ((1, 1), (1, 1)))  # 3x3 s2 pad1: 16 -> 8
     got = conv_s2d(space_to_depth(x), k3s2_to_s2d(w), ((1, 0), (1, 0)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_kdown_emits_s2d_of_strided_conv():
+    """down conv re-blocked to EMIT s2d: stride-2 (3,3) form of the (2,2)
+    s2d down kernel == space_to_depth of the down conv's output."""
+    ci, co = 16, 32
+    x = _rand(21, (2, 16, 16, ci))
+    w = _rand(22, (3, 3, ci, co)) * 0.1
+    want = space_to_depth(_conv(x, w, 2, ((1, 1), (1, 1))))
+    w2 = k3s2_to_s2d(w)
+    got = conv_s2d(
+        space_to_depth(x), kdown_to_s2d_out(w2), ((1, 0), (1, 0)), strides=(2, 2)
+    )
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
