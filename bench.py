@@ -85,8 +85,11 @@ def bench_tpu():
     # dense-s2d kernels (benchmarks/NOTES.md round-3)
     from diffusionremotesensing_tpu.models.unet import default_tap44
 
+    # DRS_PACKED_HEAD=1 enables the packed composed-head kernel for A/B
+    # runs (ops/packed_head.py; measured E2E negative — NOTES.md round-3)
     model = residual_attention_unet_superres(
-        magnification_factor=MAG, dtype=jnp.bfloat16, s2d=True, tap44=default_tap44()
+        magnification_factor=MAG, dtype=jnp.bfloat16, s2d=True, tap44=default_tap44(),
+        packed_head=os.environ.get("DRS_PACKED_HEAD") == "1",
     )
     # init on the CPU backend (flax init through the remote-TPU tunnel is
     # pathologically slow) with the f32 model so param dtypes stay float32

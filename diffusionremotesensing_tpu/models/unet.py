@@ -99,6 +99,18 @@ class ResidualAttentionUNet(nn.Module):
     # attention-1 output dominates. Kept opt-in; benchmarks/NOTES.md round-3).
     # Exact math (golden tests); runs interpreted automatically off-TPU.
     tap44: object = False
+    # Vertically-packed Pallas kernel for the two composed-head convs
+    # (ops/packed_head.py): head_up4 + head_at produce only 4*out_dim output
+    # lanes (12 of 128 — 9.4% MXU lane occupancy). Packing 8 vertically-
+    # adjacent output pixels into the lane dim lifts occupancy 8x: the
+    # kernel measures 224us vs the XLA pair's 419us standalone (72% of bf16
+    # peak) — but is a measured END-TO-END NEGATIVE (7.94s vs 7.24s tile,
+    # same tunnel window): the XLA pair's epilogue was carrying the fused
+    # ancestral-step math + per-step RNG, which the Pallas barrier orphans
+    # into a standalone 283us 12-lane f32 fusion (benchmarks/NOTES.md
+    # round-3 packed-head entry). Kept opt-in (True) with exactness pinned;
+    # default off. Requires H/2 % 8 == 0 (falls back to the XLA pair).
+    packed_head: object = False
 
     def setup(self):
         dc, uc = self.down_channels, self.up_channels
@@ -375,6 +387,13 @@ class ResidualAttentionUNet(nn.Module):
         # bias-tap table stays f32: reduced into the (small) bias frame at
         # runtime, where bf16 would cost visible precision on a pure constant
         k["head_bT_taps"] = jnp.einsum("uvmo,m->uvo", H_up, b_T)  # (3,3,out4)
+        if self.packed_head:
+            # slot-packed matmul weights for the fused head kernel
+            # (ops/packed_head.py; loop-invariant, hoisted with the rest)
+            from diffusionremotesensing_tpu.ops.packed_head import kpack_weights
+
+            k["head_up4_p"] = kpack_weights(k["head_up4"])
+            k["head_at_p"] = kpack_weights(k["head_at"])
         return k
 
     def _forward_s2d(self, x, t_emb, cond_features, train, kern=None, s2d_io=False):
@@ -557,8 +576,25 @@ class ResidualAttentionUNet(nn.Module):
         # (~4x fewer MACs than up2_T + head; the (B,H/2,W/2,256) s2d
         # intermediate never exists) plus the head's attn-branch 3x3 on
         # attn_s. Derivation and boundary analysis in prepare_s2d_kernels.
-        out_s = _named_conv("s2d.head_up4", hh, kern["head_up4"], ((1, 2), (1, 2)), dt)
-        out_s = out_s + _named_conv("s2d.head_at", attn_s, kern["head_at"], SAME, dt)
+        # With packed_head, the pair runs as ONE vertically-packed Pallas
+        # matmul kernel (8x the 9.4% lane occupancy — ops/packed_head.py).
+        use_ph = (
+            not train
+            and bool(self.packed_head)
+            and "head_up4_p" in kern
+            and hh.shape[1] % 8 == 0
+        )
+        if use_ph:
+            from diffusionremotesensing_tpu.ops.packed_head import packed_head
+
+            with jax.named_scope("s2d.packed_head"):
+                out_s = packed_head(
+                    hh, attn_s, kern["head_up4_p"], kern["head_at_p"],
+                    interpret=jax.default_backend() != "tpu",
+                )
+        else:
+            out_s = _named_conv("s2d.head_up4", hh, kern["head_up4"], ((1, 2), (1, 2)), dt)
+            out_s = out_s + _named_conv("s2d.head_at", attn_s, kern["head_at"], SAME, dt)
         # boundary corrections: the composed conv leaks x-padding through
         # intermediate row/col -1, which the uncomposed head zeroed out
         fix_t = _named_conv("s2d.head_fix_x", hh[:, :1], kern["head_fix_x"], ((0, 0), (1, 2)), dt)
@@ -682,6 +718,7 @@ def residual_attention_unet_superres(
     s2d: bool = False,
     s2d_train: bool = False,
     tap44: object = False,
+    packed_head: object = False,
 ) -> ResidualAttentionUNet:
     """Superres UNet (ref UNet_model_superres.py:266): LR-image conditioned."""
     return ResidualAttentionUNet(
@@ -695,6 +732,7 @@ def residual_attention_unet_superres(
         s2d=s2d,
         s2d_train=s2d_train,
         tap44=tap44,
+        packed_head=packed_head,
     )
 
 
@@ -705,6 +743,7 @@ def residual_attention_unet_sar_to_ndvi(
     s2d: bool = False,
     s2d_train: bool = False,
     tap44: object = False,
+    packed_head: object = False,
 ) -> ResidualAttentionUNet:
     """SAR->NDVI UNet (ref UNet_model_SAR_TO_NDVI.py:263): SAR-image conditioned."""
     return ResidualAttentionUNet(
@@ -716,6 +755,7 @@ def residual_attention_unet_sar_to_ndvi(
         s2d=s2d,
         s2d_train=s2d_train,
         tap44=tap44,
+        packed_head=packed_head,
     )
 
 
@@ -727,6 +767,7 @@ def residual_attention_unet_generation(
     s2d: bool = False,
     s2d_train: bool = False,
     tap44: object = False,
+    packed_head: object = False,
 ) -> ResidualAttentionUNet:
     """Class-conditional UNet (ref UNet_model_generation.py:226) with CFG masking."""
     return ResidualAttentionUNet(
@@ -738,6 +779,7 @@ def residual_attention_unet_generation(
         s2d=s2d,
         s2d_train=s2d_train,
         tap44=tap44,
+        packed_head=packed_head,
     )
 
 
