@@ -46,7 +46,8 @@ except Exception:  # pragma: no cover
     PALLAS_AVAILABLE = False
 
 
-def _packed_conv_kernel(x_ref, w_ref, out_ref, *, v: int, kh: int, kw: int):
+def _packed_conv_kernel(x_ref, w_ref, *rest, v: int, kh: int, kw: int):
+    b_ref, out_ref = rest if len(rest) == 2 else (None, rest[0])
     n_g = out_ref.shape[1]
     w_dim = x_ref.shape[2]
 
@@ -69,6 +70,8 @@ def _packed_conv_kernel(x_ref, w_ref, out_ref, *, v: int, kh: int, kw: int):
             parts[g0 : g0 + n_g, a], w_ref[s * ck : (s + 1) * ck],
             dn, preferred_element_type=jnp.float32,
         )
+    if b_ref is not None:
+        acc += b_ref[...].astype(jnp.float32)  # (1, v*Co) broadcasts
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
@@ -80,25 +83,32 @@ def pack_conv_weights(k: jax.Array, v: int) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("v", "kh", "kw", "interpret"))
-def packed_conv(x, wp, v: int, kh: int = 3, kw: int = 3,
+def packed_conv(x, wp, v: int, kh: int = 3, kw: int = 3, bias=None,
                 interpret: bool = False):
     """V-packed SAME conv: x (B,H,W,Ci) * packed weight wp (from
     :func:`pack_conv_weights` of a (kh,kw,Ci,Co) kernel). H must be a
-    multiple of ``v``. Returns (B,H,W,Co), accumulated in f32."""
+    multiple of ``v``. ``bias``, if given, is the (Co,) conv bias — added
+    in-kernel (pass the UNPACKED bias; it is tiled v-fold here). Returns
+    (B,H,W,Co), accumulated in f32."""
     b, h_dim, w_dim, ci = x.shape
     no = wp.shape[1]               # v * Co
     co = no // v
     gr = h_dim // v
     dt = x.dtype
+    operands = [x, wp.astype(dt)]
+    in_specs = [
+        pl.BlockSpec((1, h_dim, w_dim, ci), lambda bb: (bb, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    if bias is not None:
+        operands.append(jnp.tile(bias, v).reshape(1, no).astype(dt))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     y = pl.pallas_call(
         functools.partial(_packed_conv_kernel, v=v, kh=kh, kw=kw),
         out_shape=jax.ShapeDtypeStruct((b, gr, w_dim, no), dt),
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, h_dim, w_dim, ci), lambda bb: (bb, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, gr, w_dim, no), lambda bb: (bb, 0, 0, 0),
             memory_space=pltpu.VMEM,
@@ -109,7 +119,7 @@ def packed_conv(x, wp, v: int, kh: int = 3, kw: int = 3,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, wp.astype(dt))
+    )(*operands)
     # unpack: y[b, G, w, j*Co+o] -> out[b, vG+j, w, o]
     return (
         y.reshape(b, gr, w_dim, v, co)
