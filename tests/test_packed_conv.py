@@ -51,6 +51,16 @@ def test_packed_conv_bf16_close():
     )
 
 
+def test_packed_conv_in_kernel_bias():
+    x = _rand(7, (2, 16, 16, 32), 0.3)
+    k = _rand(8, (3, 3, 32, 64), 0.05)
+    b = _rand(9, (64,))
+    got = packed_conv(x, pack_conv_weights(k, 2), v=2, bias=b, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(_conv(x, k) + b), atol=2e-5
+    )
+
+
 def test_packed_conv_rejects_tall_kernels():
     """v >= kh-1 (the highest slot must fit the v-row reshape)."""
     x = _rand(5, (1, 16, 16, 8))
