@@ -82,13 +82,13 @@ def prepare(root: str, n_train: int = 600, n_val: int = 60, seed: int = 0) -> No
     print(f"dataset at {root}: {n_train} train / {n_val} val / 4 eval tiles")
 
 
-def _degrade_lr(hr_u8: np.ndarray) -> np.ndarray:
+def _degrade_lr(hr_u8: np.ndarray, mag: int = MAG) -> np.ndarray:
     """The training degradation (get_data_superres semantics: PIL bicubic
-    downsample by MAG + GaussianBlur(BLUR_RADIUS)), applied to an eval tile."""
+    downsample by mag + GaussianBlur(BLUR_RADIUS)), applied to an eval tile."""
     from PIL import Image, ImageFilter
 
     im = Image.fromarray(hr_u8)
-    lr = im.resize((im.width // MAG, im.height // MAG), Image.BICUBIC)
+    lr = im.resize((im.width // mag, im.height // mag), Image.BICUBIC)
     lr = lr.filter(ImageFilter.GaussianBlur(BLUR_RADIUS))
     return np.asarray(lr, np.float32) / 255.0
 
@@ -116,7 +116,7 @@ def _load_eval_variables(snapshot: str):
 
 def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int = 1500,
              ddim_eta: float = 0.0, ddim_spacing: str = "linear",
-             ddim_clip_x0: bool = True):
+             ddim_clip_x0: bool = True, mag: int = MAG):
     import jax
     import jax.numpy as jnp
     from PIL import Image
@@ -132,11 +132,11 @@ def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int 
 
     variables = _load_eval_variables(snapshot)
     model = residual_attention_unet_superres(
-        magnification_factor=MAG, dtype=jnp.bfloat16, s2d=True, tap44=default_tap44()
+        magnification_factor=mag, dtype=jnp.bfloat16, s2d=True, tap44=default_tap44()
     )
     proc = make_process(model, "cosine", noise_steps, HR)
     agg = AggregationSampler(
-        proc, patch_size=HR // MAG, stride=HR // (2 * MAG), magnification_factor=MAG,
+        proc, patch_size=HR // mag, stride=HR // (2 * mag), magnification_factor=mag,
         ddim_steps=ddim_steps, ddim_eta=ddim_eta, ddim_spacing=ddim_spacing,
         ddim_clip_x0=ddim_clip_x0,
     )
@@ -146,9 +146,9 @@ def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int 
     for i, name in enumerate(tiles):
         hr_u8 = np.asarray(Image.open(os.path.join(root, "eval_tiles", name)))
         hr = hr_u8.astype(np.float32) / 255.0
-        lr = _degrade_lr(hr_u8)
+        lr = _degrade_lr(hr_u8, mag)
         sr = np.asarray(agg(variables, lr, key=jax.random.PRNGKey(100 + i)))
-        bic = np.clip(np.asarray(upsample_bicubic(jnp.asarray(lr)[None], MAG))[0], 0, 1)
+        bic = np.clip(np.asarray(upsample_bicubic(jnp.asarray(lr)[None], mag))[0], 0, 1)
         rows.append(
             {
                 "tile": name,
@@ -160,6 +160,7 @@ def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int 
         )
     summary = {
         "snapshot": snapshot,
+        "magnification": mag,
         "sampler": _sampler_label(ddim_steps, noise_steps, ddim_eta,
                                   ddim_spacing, ddim_clip_x0),
         "tiles": rows,
@@ -260,6 +261,7 @@ def evaluate_sar(root: str, snapshot: str, ddim_steps: int | None, noise_steps: 
 
     summary = {
         "snapshot": snapshot,
+        "magnification": mag,
         "sampler": _sampler_label(ddim_steps, noise_steps, ddim_eta,
                                   ddim_spacing, ddim_clip_x0),
         "sar_psnr_db": psnr(pred, gt_hwc, data_range=1.0),
@@ -437,6 +439,9 @@ def main():
                    help="clamp the per-step DDIM x0 prediction (default on, "
                         "matching the production surfaces; pass 'false' to disable)")
     p.add_argument("--noise_steps", type=int, default=1500)
+    p.add_argument("--magnification", type=int, default=MAG,
+                   help="SR factor of the snapshot under --evaluate (the "
+                        "gate's eval tiles are degraded by the same factor)")
     args = p.parse_args()
     if args.prepare:
         prepare(args.prepare)
@@ -446,7 +451,7 @@ def main():
         assert args.snapshot, "--evaluate needs --snapshot"
         evaluate(args.evaluate, args.snapshot, args.ddim_steps, args.noise_steps,
                  ddim_eta=args.ddim_eta, ddim_spacing=args.ddim_spacing,
-                 ddim_clip_x0=args.ddim_clip_x0)
+                 ddim_clip_x0=args.ddim_clip_x0, mag=args.magnification)
     if args.evaluate_sar:
         assert args.snapshot, "--evaluate_sar needs --snapshot"
         evaluate_sar(args.evaluate_sar, args.snapshot, args.ddim_steps, args.noise_steps,

@@ -27,6 +27,7 @@ def test_degrade_lr_shape_and_range():
     lr = _degrade_lr(hr)
     assert lr.shape == (32, 32, 3)
     assert 0.0 <= lr.min() and lr.max() <= 1.0
+    assert _degrade_lr(hr, mag=4).shape == (16, 16, 3)  # x4 gate variant
 
 
 def test_sar_pair_is_nonlinear_in_the_channels():
