@@ -59,9 +59,11 @@ def test_gaussian_kernel_normalized_and_symmetric():
         np.testing.assert_allclose(k, k[::-1])
 
 
-def test_transform_matches_host_dataset(tmp_path):
+@pytest.mark.parametrize("mag", [2, 4])
+def test_transform_matches_host_dataset(tmp_path, mag):
     """End-to-end: device transform output == SuperresDownBlurDataset items
-    (x exact; cond within the documented 2/255 blur tolerance)."""
+    (x exact; cond within the documented 2/255 blur tolerance) — at x2 AND
+    the x4 generality-gate magnification."""
     import jax
 
     from diffusionremotesensing_tpu.data.datasets import (
@@ -77,9 +79,9 @@ def test_transform_matches_host_dataset(tmp_path):
             d / f"{i}.png"
         )
 
-    host = SuperresDownBlurDataset(str(d), magnification_factor=2, blur_radius=0.7, image_size=32)
+    host = SuperresDownBlurDataset(str(d), magnification_factor=mag, blur_radius=0.7, image_size=32)
     dec = DecodeOnlyDataset(str(d), image_size=32)
-    transform = make_downblur_transform(32, 2, 0.7)
+    transform = make_downblur_transform(32, mag, 0.7)
 
     batch = {"hr_u8": np.stack([dec[i]["hr_u8"] for i in range(4)])}
     out = jax.tree_util.tree_map(np.asarray, transform(batch))
