@@ -85,14 +85,15 @@ def _oracle_process(patch_hr: int, mag: int):
     return proc
 
 
-def test_aggregation_end_to_end_oracle():
-    mag, patch, stride = 2, 8, 4
+@pytest.mark.parametrize("mag", [2, 4])
+def test_aggregation_end_to_end_oracle(mag):
+    patch, stride = 8, 4
     proc = _oracle_process(patch * mag, mag)
     agg = AggregationSampler(proc, patch_size=patch, stride=stride, magnification_factor=mag, batch_size=4)
     rng = np.random.default_rng(0)
     img = rng.random((16, 16, 3)).astype(np.float32)
     out = agg(None, img, key=jax.random.PRNGKey(1))
-    assert out.shape == (32, 32, 3)
+    assert out.shape == (16 * mag, 16 * mag, 3)
     expected = np.repeat(np.repeat(img, mag, 0), mag, 1)
     # the oracle pins every patch to the upsampled LR; blending overlapping
     # identical patches must reproduce it (up to sampler noise at t=1)
