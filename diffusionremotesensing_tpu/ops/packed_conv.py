@@ -22,7 +22,11 @@ no sublane->lane relayouts exist in the kernel. Per slot the kw variants
 concatenate into one (<=128*kw)-lane tensor contracted by a single matmul.
 
 Exactness is pinned against the XLA conv in tests/test_packed_conv.py
-(interpret mode on CPU).
+(interpret mode on CPU). MEASURED NEGATIVE standalone at the level-1
+flagship shapes (0.75x / 1.02x vs the XLA conv — the per-slot concat's
+non-128 lane widths and the V=2 slot fragmentation cost more than the lane
+win buys; benchmarks/NOTES.md round-3) — not wired into the model; kept as
+validated infrastructure for genuinely low-occupancy shapes.
 """
 
 from __future__ import annotations
