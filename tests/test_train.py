@@ -304,17 +304,25 @@ print("TRAIN_RETURNED_CLEANLY", int(state.step))
     env = dict(os.environ)
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     env.pop("XLA_FLAGS", None)
-    proc = subprocess.Popen(
-        [sys.executable, "-c", script], cwd=repo, env=env,
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-    )
-    deadline = _time.time() + 300
-    while not os.path.exists(marker):
-        assert proc.poll() is None, proc.communicate()[0][-3000:]
-        assert _time.time() < deadline, "worker never reached epoch 1"
-        _time.sleep(0.5)
-    proc.send_signal(signal.SIGTERM)
-    out, _ = proc.communicate(timeout=120)
+    # stdout must go to a FILE, not subprocess.PIPE: nobody drains the pipe
+    # until after the marker appears, and XLA's per-cache-load C++ warnings
+    # (e.g. cpu_aot_loader machine-feature spew, ~3 KB each) can fill the
+    # 64 KB pipe buffer before epoch 1, deadlocking the worker in write().
+    out_path = os.path.join(str(tmp_path), "worker_out.txt")
+    with open(out_path, "w") as out_f:
+        proc = subprocess.Popen(
+            [sys.executable, "-c", script], cwd=repo, env=env,
+            stdout=out_f, stderr=subprocess.STDOUT, text=True,
+        )
+        deadline = _time.time() + 300
+        read_out = lambda: open(out_path).read()  # noqa: E731
+        while not os.path.exists(marker):
+            assert proc.poll() is None, read_out()[-3000:]
+            assert _time.time() < deadline, "worker never reached epoch 1"
+            _time.sleep(0.5)
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=120)
+    out = read_out()
     assert proc.returncode == 0, out[-3000:]
     assert "TRAIN_RETURNED_CLEANLY" in out, out[-3000:]
     # the signal handler announces itself unconditionally; the epoch-level
