@@ -285,6 +285,11 @@ def main():
 
     import jax
 
+    # honor DRS_FORCE_CPU=1 like the training/inference CLIs (the pinned
+    # remote-TPU platform ignores JAX_PLATFORMS env overrides)
+    if os.environ.get("DRS_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+
     # machine-scoped cache dir (same rationale as bench.py: a persistent
     # cache written on another host emits spurious XLA:CPU AOT
     # feature-mismatch errors / could fail to load)
