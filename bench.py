@@ -158,6 +158,13 @@ def bench_torch_baseline():
 
 
 def main():
+    # honor DRS_FORCE_CPU=1 like the other CLIs (the sitecustomize-pinned
+    # remote-TPU platform ignores JAX_PLATFORMS env overrides): makes the
+    # bench smokeable in CI / during tunnel outages
+    if os.environ.get("DRS_FORCE_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     n_patches = _patch_count()
     tile_s, tile_ddim_s, kind = bench_tpu()
     fwd_per_tile = n_patches * (T - 1)

@@ -261,7 +261,6 @@ def evaluate_sar(root: str, snapshot: str, ddim_steps: int | None, noise_steps: 
 
     summary = {
         "snapshot": snapshot,
-        "magnification": mag,
         "sampler": _sampler_label(ddim_steps, noise_steps, ddim_eta,
                                   ddim_spacing, ddim_clip_x0),
         "sar_psnr_db": psnr(pred, gt_hwc, data_range=1.0),

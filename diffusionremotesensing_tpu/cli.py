@@ -572,10 +572,11 @@ def launch_aggregation(args) -> None:
 
     from diffusionremotesensing_tpu.aggregation import AggregationSampler, squarify_sizes
     from diffusionremotesensing_tpu.io import load_snapshot
-    from diffusionremotesensing_tpu.models.unet import residual_attention_unet_superres
+    from diffusionremotesensing_tpu.models.unet import (
+        default_tap44,
+        residual_attention_unet_superres,
+    )
     from diffusionremotesensing_tpu.utils import save_image
-
-    from diffusionremotesensing_tpu.models.unet import default_tap44
 
     device = _select_device(args.device)
     s2d = getattr(args, "s2d", True)

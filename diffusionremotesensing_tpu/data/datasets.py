@@ -128,7 +128,9 @@ class SuperresDownBlurDataset:
         self.filenames = sorted(os.listdir(root_dir))
         self._rng = _Rng(seed)
         # a shared DecodedCache keeps the byte budget global across the
-        # train/val datasets (keys are (root_dir, idx))
+        # train/val datasets (keys include root_dir/size/format so two
+        # datasets over the same directory with different resize settings
+        # can't serve each other's entries)
         self._cache = cache if cache is not None else (
             DecodedCache(cache_mb) if cache_mb > 0 else None
         )
@@ -143,8 +145,9 @@ class SuperresDownBlurDataset:
         """Decoded + reference-resized HR image, via the bit-exact uint8
         cache when enabled (decode is the per-item cost the degradation
         doesn't dominate; see DecodedCache)."""
+        key = (self.root_dir, idx, self.image_size, self.data_format)
         if self._cache is not None:
-            arr = self._cache.get((self.root_dir, idx))
+            arr = self._cache.get(key)
             if arr is not None:
                 return Image.fromarray(arr.squeeze())
         y = _decode_rgb(
@@ -152,7 +155,7 @@ class SuperresDownBlurDataset:
         )
         if self._cache is not None:
             arr = np.asarray(y, np.uint8)
-            self._cache.put((self.root_dir, idx), arr if arr.ndim == 3 else arr[:, :, None])
+            self._cache.put(key, arr if arr.ndim == 3 else arr[:, :, None])
         return y
 
     def __getitem__(self, idx: int):
@@ -189,8 +192,9 @@ class DecodeOnlyDataset:
         return len(self.filenames)
 
     def __getitem__(self, idx: int):
+        key = (self.root_dir, idx, self.image_size, self.data_format)
         if self._cache is not None:
-            arr = self._cache.get((self.root_dir, idx))
+            arr = self._cache.get(key)
             if arr is not None:
                 return {"hr_u8": arr}
         y = _decode_rgb(
@@ -200,7 +204,7 @@ class DecodeOnlyDataset:
         if arr.ndim == 2:
             arr = arr[:, :, None]
         if self._cache is not None:
-            self._cache.put((self.root_dir, idx), arr)
+            self._cache.put(key, arr)
         return {"hr_u8": arr}
 
 

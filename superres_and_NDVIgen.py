@@ -57,7 +57,10 @@ def super_resolver(lr_img: np.ndarray, device=None, model_name: str = "", key=No
     import jax
 
     from diffusionremotesensing_tpu.diffusion import make_process
-    from diffusionremotesensing_tpu.models.unet import residual_attention_unet_superres
+    from diffusionremotesensing_tpu.models.unet import (
+        default_tap44,
+        residual_attention_unet_superres,
+    )
 
     magnification_factor = parse_magnification(model_name)
     image_size = parse_lr_imgsize(model_name) * magnification_factor
@@ -90,7 +93,10 @@ def SAR_to_NDVI_generator(SAR_img_path: str, device=None, n_generations: int = 1
     import jax
 
     from diffusionremotesensing_tpu.diffusion import make_process
-    from diffusionremotesensing_tpu.models.unet import residual_attention_unet_sar_to_ndvi
+    from diffusionremotesensing_tpu.models.unet import (
+        default_tap44,
+        residual_attention_unet_sar_to_ndvi,
+    )
 
     SAR_channels, NDVI_channels = 2, 1
     model_name = "Residual_Attention_UNet_EMA_imgsize128_SAR_TO_NDVI"

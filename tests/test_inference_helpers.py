@@ -47,3 +47,67 @@ def test_make_process_class_conditioning_has_no_encoder():
     out = proc_sr.sample(v, jax.random.PRNGKey(1), n=1, cond=jnp.zeros((8, 8, 3)))
     assert out.shape == (1, 16, 16, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def _tiny_snapshot(tmp_path, model_name, model, image_size):
+    """Save an init-params snapshot under tmp_path/models_run/<name>/weights."""
+    from diffusionremotesensing_tpu.io import save_snapshot
+    from diffusionremotesensing_tpu.models.unet import init_unet_params
+
+    v = init_unet_params(model, jax.random.PRNGKey(0), image_size=image_size)
+    d = os.path.join(str(tmp_path), "models_run", model_name, "weights")
+    os.makedirs(d)
+    save_snapshot(os.path.join(d, "snapshot.msgpack"),
+                  {"params": v["params"], "batch_stats": v.get("batch_stats", {})}, 0)
+
+
+def _short_T(monkeypatch):
+    """Wrap make_process so the helpers' hardcoded T=1500 becomes T=5."""
+    import diffusionremotesensing_tpu.diffusion as diff
+
+    real = diff.make_process
+    monkeypatch.setattr(
+        diff, "make_process",
+        lambda model, sched, T, size, **kw: real(model, sched, 5, size, **kw),
+    )
+
+
+def test_super_resolver_end_to_end(tmp_path, monkeypatch):
+    """Drive the reference-parity inference driver (superres_and_NDVIgen.py
+    super_resolver, /root/reference/superres_and_NDVIgen.py:21-76) through
+    name parsing, model construction (the default s2d/tap44 path), snapshot
+    load, and sampling — pinned after a missing default_tap44 import made
+    every default-flag invocation crash with NameError."""
+    from diffusionremotesensing_tpu.models.unet import residual_attention_unet_superres
+    from superres_and_NDVIgen import super_resolver
+
+    name = "Residual_Attention_UNet_superres_magnification2_LRimgsize8_test"
+    _tiny_snapshot(tmp_path, name,
+                   residual_attention_unet_superres(magnification_factor=2), 16)
+    monkeypatch.chdir(tmp_path)
+    _short_T(monkeypatch)
+
+    out = super_resolver(np.zeros((8, 8, 3), np.float32), model_name=name)
+    assert out.shape == (16, 16, 3)
+    assert np.isfinite(out).all() and out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_sar_to_ndvi_generator_end_to_end(tmp_path, monkeypatch):
+    """Same pinning for SAR_to_NDVI_generator (reference
+    superres_and_NDVIgen.py:79-135): .npy input, [-1,1]->[0,1] rescale,
+    default s2d/tap44 construction, sampling."""
+    import superres_and_NDVIgen as mod
+    from diffusionremotesensing_tpu.models.unet import residual_attention_unet_sar_to_ndvi
+
+    name = "Residual_Attention_UNet_EMA_imgsize128_SAR_TO_NDVI"
+    _tiny_snapshot(tmp_path, name, residual_attention_unet_sar_to_ndvi(), 16)
+    monkeypatch.chdir(tmp_path)
+    _short_T(monkeypatch)
+    # the model name hardcodes imgsize128; sample at 16px to keep the test fast
+    monkeypatch.setattr(mod, "parse_imgsize", lambda _name: 16)
+
+    sar = np.random.default_rng(0).uniform(-0.9, 0.9, (2, 16, 16)).astype(np.float32)
+    np.save(os.path.join(str(tmp_path), "sar.npy"), sar)
+    out = mod.SAR_to_NDVI_generator(os.path.join(str(tmp_path), "sar.npy"))
+    assert out.shape == (1, 16, 16, 1)
+    assert np.isfinite(np.asarray(out)).all()

@@ -108,3 +108,35 @@ def test_color_diversity_detects_mode_collapse():
     collapsed = _color_diversity(np.stack(col_imgs), np.asarray(col_labels), len(GEN_CLASSES))
     assert healthy > 0.05
     assert collapsed < 0.2 * healthy
+
+
+def test_evaluate_sar_smoke(tmp_path, monkeypatch, capsys):
+    """Drive evaluate_sar end-to-end (tiny size, DDIM-2): the summary-building
+    tail once crashed with a NameError AFTER all the sampling compute was
+    spent, because no test reached it."""
+    import benchmarks.learning_check as lc
+    from diffusionremotesensing_tpu.io import save_snapshot
+    from diffusionremotesensing_tpu.models.unet import (
+        init_unet_params,
+        residual_attention_unet_sar_to_ndvi,
+    )
+
+    monkeypatch.setattr(lc, "SAR_SIZE", 16)
+    d = tmp_path / "eval_pairs"
+    d.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(2):
+        np.save(str(d / f"sar_{i}.npy"), rng.uniform(0, 1, (2, 16, 16)).astype(np.float32))
+        np.save(str(d / f"ndvi_{i}.npy"), rng.uniform(0, 1, (1, 16, 16)).astype(np.float32))
+
+    import jax
+
+    v = init_unet_params(residual_attention_unet_sar_to_ndvi(), jax.random.PRNGKey(0),
+                         image_size=16)
+    snap = str(tmp_path / "snapshot.msgpack")
+    save_snapshot(snap, {"params": v["params"], "batch_stats": v.get("batch_stats", {})}, 0)
+
+    summary = lc.evaluate_sar(str(tmp_path), snap, ddim_steps=2, noise_steps=8)
+    assert set(summary) >= {"sar_psnr_db", "sar_ssim", "linear_baseline_psnr_db",
+                            "beats_linear"}
+    assert np.isfinite(summary["sar_psnr_db"])
