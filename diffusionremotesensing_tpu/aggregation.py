@@ -201,7 +201,7 @@ class AggregationSampler:
                 cond = jax.device_put(cond, bs)
                 x_T = jax.device_put(x_T, bs)
             pending.append(sampler(variables, k_samp, x_T, cond))
-            if len(pending) > MAX_IN_FLIGHT:
+            if len(pending) >= MAX_IN_FLIGHT:  # cap in-flight chunks at the bound
                 outs.append(np.asarray(pending.pop(0)))
         outs.extend(np.asarray(o) for o in pending)
         out = np.concatenate(outs, axis=0)

@@ -371,9 +371,7 @@ def launch_superres(args) -> None:
         sr = np.asarray(trainer.sample(state, n=len(items), cond=conds))
     if not is_main_process():
         return
-    from diffusionremotesensing_tpu.utils import save_preview_grid as _grid
-
-    _grid(
+    save_preview_grid(
         [(it["cond"], it["x"], s) for it, s in zip(items, sr)],
         ["Low resolution image", "High resolution image", "Super resolution image"],
         os.path.join(results_dir, "superres_results.png"),

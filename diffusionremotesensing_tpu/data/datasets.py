@@ -309,6 +309,8 @@ class SarToNdviDataset:
             return arr.transpose(1, 2, 0) if arr.ndim == 3 else arr[:, :, None]
         if ext == ".npy" or self.data_format == "numpy":
             arr = np.load(path).astype(np.float32)
+            if arr.ndim == 2:  # single-channel 2-D arrays, same as the .pt branch
+                return arr[:, :, None]
             return arr.transpose(1, 2, 0) if arr.ndim == 3 and arr.shape[0] <= 4 else arr
         img = Image.open(path)
         return _to_float_hwc(img) * 2.0 - 1.0  # PIL path: map to [-1,1] first

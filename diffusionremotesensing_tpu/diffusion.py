@@ -127,6 +127,12 @@ def make_sampler(
     enc, dec = state_codec if state_codec is not None else (None, None)
 
     def sample(variables, key: jax.Array, x_T: jnp.ndarray, cond=None):
+        if cfg_scale is not None and cond is None:
+            raise ValueError(
+                "cfg_scale requires cond (labels): classifier-free guidance "
+                "lerps the conditioned vs unconditioned predictions; pass "
+                "cond or sample with cfg_scale=None"
+            )
         n = x_T.shape[0]
         orig_shape = x_T.shape
         feats = None
@@ -227,6 +233,12 @@ def make_ddim_sampler(
     enc, dec = state_codec if state_codec is not None else (None, None)
 
     def sample(variables, key: jax.Array, x_T: jnp.ndarray, cond=None):
+        if cfg_scale is not None and cond is None:
+            raise ValueError(
+                "cfg_scale requires cond (labels): classifier-free guidance "
+                "lerps the conditioned vs unconditioned predictions; pass "
+                "cond or sample with cfg_scale=None"
+            )
         n = x_T.shape[0]
         orig_shape = x_T.shape
         feats = None

@@ -98,16 +98,25 @@ class OrbaxSnapshotter:
                 max_to_keep=1, enable_async_checkpointing=True
             ),
         )
+        # The manager step is an internal MONOTONIC save counter, not the
+        # epoch (EPOCHS_RUN lives in the payload and is what load_snapshot
+        # returns): a resumed run re-saves the epoch it restarted from, and
+        # CheckpointManager refuses same-step saves (silently skipped or
+        # StepAlreadyExistsError depending on version) — which would lose
+        # the rerun's weights until the next save trigger.
+        latest = self._mgr.latest_step()
+        self._next_step = 0 if latest is None else latest + 1
 
     def save(self, model_state: Dict[str, Any], epochs_run: int) -> None:
-        """Non-blocking save at step=epochs_run (monotonic in the train loop)."""
+        """Non-blocking save; EPOCHS_RUN rides in the payload."""
         import orbax.checkpoint as ocp
 
         payload = {
             "MODEL_STATE": jax.tree_util.tree_map(np.asarray, unfreeze(model_state)),
             "EPOCHS_RUN": int(epochs_run),
         }
-        self._mgr.save(int(epochs_run), args=ocp.args.StandardSave(payload))
+        self._mgr.save(self._next_step, args=ocp.args.StandardSave(payload))
+        self._next_step += 1
 
     def wait_until_finished(self) -> None:
         self._mgr.wait_until_finished()

@@ -128,6 +128,10 @@ def vgg_perceptual_loss_fn(vgg_variables=None, seed: int = 0) -> Callable:
     std = jnp.asarray(_IMAGENET_STD)
 
     def preprocess(img):
+        # reference quirk preserved: the resize is gated on WIDTH only
+        # (train_diffusion_superres.py:48: image.shape[-1] != 224 in NCHW —
+        # here shape[-2], the NHWC width axis); a non-square W==224 input
+        # skips the resize in both implementations
         if img.shape[-2] != 224:
             img = resize_bicubic(img, 224, 224)
         return (img - mean) / std

@@ -32,6 +32,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# the s2d layout rule has ONE home (tap order contract): ops/s2d.py
+from diffusionremotesensing_tpu.ops.s2d import (
+    depth_to_space as _depth_to_space,
+    space_to_depth as _space_to_depth,
+)
+
 try:  # pallas is TPU/GPU-only; import lazily so CPU test envs still work
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -83,27 +89,6 @@ def _gate_kernel(
     inv_std = jax.lax.rsqrt(bn_var_ref[0] + 1e-5)
     r = (r - bn_mean_ref[0]) * inv_std * bn_scale_ref[0] + bn_bias_ref[0]
     out_ref[0] = r.reshape(Hg, Wg, C4).astype(out_ref.dtype)
-
-
-def _space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W, C) -> (B, H/2, W/2, 4C), taps ordered (00, 01, 10, 11)."""
-    B, H, W, C = x.shape
-    return (
-        x.reshape(B, H // 2, 2, W // 2, 2, C)
-        .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(B, H // 2, W // 2, 4 * C)
-    )
-
-
-def _depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of :func:`_space_to_depth`."""
-    B, Hg, Wg, C4 = x.shape
-    C = C4 // 4
-    return (
-        x.reshape(B, Hg, Wg, 2, 2, C)
-        .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(B, Hg * 2, Wg * 2, C)
-    )
 
 
 def fused_attention_gate(

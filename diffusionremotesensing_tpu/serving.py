@@ -314,7 +314,15 @@ class InferenceServer:
                         self._reply(400, {"error": f"missing required field {field!r}"})
                         return
                     if outer.task == "generation":
-                        cond = np.int32(req["label"])
+                        # malformed label TYPES are client errors (400), same
+                        # as every other request-validation failure — not 500s
+                        try:
+                            # int() rejects lists/None/non-numeric strings;
+                            # np.int32 alone would ACCEPT a list (makes an array)
+                            cond = np.int32(int(req["label"]))
+                        except (TypeError, ValueError):
+                            self._reply(400, {"error": "field 'label' must be an integer"})
+                            return
                     else:
                         cond = _decode_image(req["image"])
                     err = outer.validate(cond)

@@ -281,3 +281,18 @@ def test_decoded_cache_is_bit_exact_and_bounded(tmp_path):
     tiny.put(0, np.zeros((16, 16, 3), np.uint8))
     tiny.put(1, np.zeros((16, 16, 3), np.uint8))
     assert 0 in tiny._d and 1 not in tiny._d
+
+
+def test_sar_to_ndvi_dataset_2d_npy(tmp_path):
+    """Single-channel pairs stored as 2-D .npy arrays get the channel dim
+    appended (same as the .pt branch) — a 2-D item would otherwise break the
+    NHWC batch contract at the first q_sample."""
+    (tmp_path / "sar").mkdir()
+    (tmp_path / "opt").mkdir()
+    rng = np.random.default_rng(1)
+    np.save(tmp_path / "sar" / "p0.npy", rng.uniform(-1, 1, (16, 16)).astype(np.float32))
+    np.save(tmp_path / "opt" / "p0.npy", rng.uniform(-1, 1, (16, 16)).astype(np.float32))
+    ds = SarToNdviDataset(str(tmp_path), data_format="numpy")
+    item = ds[0]
+    assert item["cond"].shape == (16, 16, 1)
+    assert item["x"].shape == (16, 16, 1)

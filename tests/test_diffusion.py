@@ -258,3 +258,30 @@ def test_ddim_clip_x0_changes_out_of_range_trajectories():
     )
     np.testing.assert_allclose(np.asarray(free), 1.7, atol=1e-3)
     np.testing.assert_allclose(np.asarray(clipped), 1.0, atol=1e-3)
+
+
+def test_cfg_without_cond_raises_clearly():
+    """cfg_scale with cond=None must fail with an explanatory ValueError at
+    the sampler entry, not an opaque concatenate-None TypeError inside the
+    scan trace."""
+    import pytest
+
+    from diffusionremotesensing_tpu.diffusion import DiffusionProcess
+    from diffusionremotesensing_tpu.models.unet import (
+        init_unet_params,
+        residual_attention_unet_generation,
+    )
+
+    model = residual_attention_unet_generation(num_classes=2)
+    v = init_unet_params(model, jax.random.PRNGKey(0), image_size=8)
+
+    def apply_fn(variables, x, t, cond, mask):
+        return model.apply(variables, x, t, cond, mask, train=False)
+
+    proc = DiffusionProcess("linear", apply_fn, noise_steps=4, image_size=8,
+                            image_channels=3)
+    x_T = jnp.zeros((2, 8, 8, 3))
+    for sampler in (proc.sampler(cfg_scale=3.0),
+                    proc.ddim_sampler(2, cfg_scale=3.0)):
+        with pytest.raises(ValueError, match="cfg_scale requires cond"):
+            sampler(v, jax.random.PRNGKey(1), x_T, None)

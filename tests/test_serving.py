@@ -198,3 +198,33 @@ def test_infer_tile_aggregation_endpoint():
     finally:
         httpd.shutdown()
         srv.batcher.shutdown()
+
+
+def test_generate_malformed_label_is_400():
+    """Malformed label TYPES are request errors (400), not server faults
+    (500): the validation layer must cover type coercion too."""
+    model = residual_attention_unet_generation(num_classes=3)
+    variables = init_unet_params(model, jax.random.PRNGKey(0), image_size=16)
+    srv = InferenceServer(
+        model, variables, noise_schedule="linear", noise_steps=4,
+        image_size=16, task="generation", max_batch=2,
+    )
+    httpd = srv.make_http_server(port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        for bad in ["cat", None, [1, 2]]:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps({"label": bad}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                urllib.request.urlopen(req, timeout=10)
+                raise AssertionError("expected 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, (bad, e.code)
+                assert "label" in json.loads(e.read())["error"]
+    finally:
+        httpd.shutdown()
+        srv.batcher.shutdown()

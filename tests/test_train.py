@@ -335,3 +335,21 @@ print("TRAIN_RETURNED_CLEANLY", int(state.step))
     trainer2, state2 = _make_trainer(str(tmp_path))
     state2 = trainer2.maybe_resume(state2)
     assert trainer2.epochs_run >= 1
+
+
+def test_orbax_resave_same_epoch_persists(tmp_path):
+    """A resumed run re-saves the epoch it restarted from; without
+    force=True, CheckpointManager.save silently skips an existing step and
+    the rerun's weights are never persisted (verified on orbax 0.11.x)."""
+    path = os.path.join(str(tmp_path), "snap_orbax")
+    snap = dio.OrbaxSnapshotter(path)
+    snap.save({"params": {"a": jnp.zeros(3)}, "batch_stats": {}}, 5)
+    snap.wait_until_finished()
+    snap.close()
+    snap2 = dio.OrbaxSnapshotter(path)
+    snap2.save({"params": {"a": jnp.ones(3)}, "batch_stats": {}}, 5)
+    snap2.wait_until_finished()
+    snap2.close()
+    loaded, epochs = dio.load_snapshot(path)
+    assert epochs == 5
+    np.testing.assert_allclose(np.asarray(loaded["params"]["a"]), np.ones(3))
