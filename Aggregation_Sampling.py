@@ -52,7 +52,7 @@ if __name__ == "__main__":
                         nargs="?", const=True, default=True,
                         help="space-to-depth inference execution (exact math, faster on TPU); --s2d false disables")
     parser.add_argument("--tap44", type=str, default="auto",
-                        choices=["auto", "off", "conv2", "full", "block", "l1"],
+                        choices=["auto", "off", "conv2", "full", "block", "stem", "l1"],
                         help="tap-structured Pallas kernels for the s2d level-0 "
                              "convs (auto = fused-block kernel on TPU, off elsewhere)")
     parser.add_argument("--multiple_gpus", type=lambda v: str(v).lower() in ("yes", "true", "t", "1"),

@@ -86,9 +86,17 @@ def bench_tpu():
     from diffusionremotesensing_tpu.models.unet import default_tap44
 
     # DRS_PACKED_HEAD=1 enables the packed composed-head kernel for A/B
-    # runs (ops/packed_head.py; measured E2E negative — NOTES.md round-3)
+    # runs (ops/packed_head.py; measured E2E negative — NOTES.md round-3);
+    # DRS_TAP44=off|conv2|full|block|stem|l1 overrides the tap44 level for
+    # same-window A/B measurements without editing code
+    tap44_env = os.environ.get("DRS_TAP44")
+    tap44 = (
+        {"off": False, "conv2": "conv2", "full": True, "block": "block",
+         "stem": "stem", "l1": "l1"}[tap44_env]
+        if tap44_env else default_tap44()
+    )
     model = residual_attention_unet_superres(
-        magnification_factor=MAG, dtype=jnp.bfloat16, s2d=True, tap44=default_tap44(),
+        magnification_factor=MAG, dtype=jnp.bfloat16, s2d=True, tap44=tap44,
         packed_head=os.environ.get("DRS_PACKED_HEAD") == "1",
     )
     # init on the CPU backend (flax init through the remote-TPU tunnel is

@@ -585,7 +585,8 @@ def launch_aggregation(args) -> None:
         magnification_factor=args.magnification_factor,
         s2d=s2d,
         tap44=(default_tap44(device) if tap44_arg == "auto" else
-               {"off": False, "conv2": "conv2", "full": True, "block": "block", "l1": "l1"}[tap44_arg])
+               {"off": False, "conv2": "conv2", "full": True, "block": "block",
+                "stem": "stem", "l1": "l1"}[tap44_arg])
         if s2d else False,
     )
     print(f"You are using {args.UNet_type} model")

@@ -338,8 +338,12 @@ def make_process(
     encode_cond_fn = None
     if getattr(model, "conditioning", None) in ("superres", "sar"):
         # hoisted in the layout the model's inference path consumes:
-        # space-to-depth when the s2d level-0 execution is enabled
+        # space-to-depth when the s2d level-0 execution is enabled; the
+        # fused-stem kernel (tap44='stem') additionally wants the
+        # conv0-bias/cond slabs pre-assembled (unet.encode_cond_stem)
         method = "encode_cond_s2d" if use_s2d else "encode_cond"
+        if use_s2d and getattr(model, "tap44", None) == "stem":
+            method = "encode_cond_stem"
 
         def encode_cond_fn(variables, cond):
             return model.apply(variables, cond, method=method)

@@ -93,6 +93,10 @@ class ResidualAttentionUNet(nn.Module):
     # im2col (1.78x reference MACs instead of 4x). False | 'conv2' (only
     # blk_conv2, the profiled #1 op) | True (conv2 + the conv1/skip pair)
     # | 'block' (whole ResConvBlock-0 as one fused kernel, ops/tap_block.py)
+    # | 'stem' ('block' extended downward through the stem: conv0 + bias +
+    # cond-add fused into the same kernel, the loop-invariant cond arriving
+    # as pre-sliced per-program slabs via encode_cond_stem — h_s never
+    # exists in HBM; measurement in benchmarks/NOTES.md round-3)
     # | 'l1' ('block' plus fused s2d execution of level 1: s2d-emitting
     # down0, fused ResConvBlock-1, s2d down1/attention1 — measured 4% SLOWER
     # end-to-end than 'block' on TPU v5e; the d2s relayout of the s2d
@@ -257,7 +261,7 @@ class ResidualAttentionUNet(nn.Module):
             "att_wx": k2s2_to_1x1(self._p(att, "w_x", "conv", "kernel")),
             "att_rc": k1_to_blockdiag(self._p(att, "result_conv", "conv", "kernel")),
         }
-        if self.tap44 in ("block", "l1"):
+        if self.tap44 in ("block", "l1", "stem"):
             # monolithic fused ResConvBlock-0 kernel (ops/tap_block.py):
             # BN_0/BN_1/BN_2 fold into the conv weights here, so these are
             # functions of params AND batch_stats (still loop-invariant)
@@ -414,11 +418,6 @@ class ResidualAttentionUNet(nn.Module):
         # s2d_io: caller keeps the diffusion state in s2d layout across the
         # whole sampling scan (no per-step layout shuffles of x / eps).
         xs = x.astype(dt) if s2d_io else space_to_depth(x.astype(dt))
-        h_s = _named_conv("s2d.conv0", xs, kern["conv0"], SAME, dt)
-        h_s = h_s + tile(self._p(self.conv0, "conv", "bias"))
-        if cond_features is not None:
-            h_s = h_s + cond_features.astype(dt)  # already s2d (see encode_cond_s2d)
-        x_skip_s = h_s
 
         # ---- ResConvBlock 0 in s2d (blocks.py:180-214 semantics)
         # tap44: the 3x3s run through the tap-structured Pallas kernel
@@ -429,6 +428,38 @@ class ResidualAttentionUNet(nn.Module):
         if use_tap:
             interp = jax.default_backend() != "tpu"
         blk = self.conv_blocks[0]
+        if use_tap and self.tap44 == "stem":
+            # fused stem: conv0 + bias + cond-add + the whole ResConvBlock-0
+            # in one kernel — h_s never exists in HBM. The loop-invariant
+            # bias/cond slabs arrive pre-assembled from encode_cond_stem
+            # (5-D) when sampling; any other caller (tests, direct apply)
+            # gets them built here from the 4-D features.
+            from diffusionremotesensing_tpu.ops.tap_block import (
+                build_cond_slabs,
+                tap_stem_block,
+            )
+
+            if cond_features is not None and cond_features.ndim == 5:
+                condb = cond_features
+            else:
+                condb = build_cond_slabs(
+                    tile(self._p(self.conv0, "conv", "bias")),
+                    xs.shape[0], xs.shape[1], xs.shape[2],
+                    cond_s2d=cond_features, dtype=dt,
+                )
+            te = self._time_bias(blk, t_emb.astype(dt), dt)
+            with jax.named_scope("s2d.tap_stem0"):
+                res0_s = tap_stem_block(
+                    xs, condb, jnp.tile(te, (1, 4)), kern["tap_block"],
+                    kern["conv0"], interpret=interp,
+                )
+            return self._forward_s2d_tail(res0_s, t_emb, train, kern, s2d_io, dt, updates)
+
+        h_s = _named_conv("s2d.conv0", xs, kern["conv0"], SAME, dt)
+        h_s = h_s + tile(self._p(self.conv0, "conv", "bias"))
+        if cond_features is not None:
+            h_s = h_s + cond_features.astype(dt)  # already s2d (see encode_cond_s2d)
+        x_skip_s = h_s
         if use_tap and self.tap44 in ("block", "l1"):
             # whole ResConvBlock-0 in one fused kernel; skip to down0
             from diffusionremotesensing_tpu.ops.tap_block import tap_block
@@ -625,6 +656,21 @@ class ResidualAttentionUNet(nn.Module):
         from diffusionremotesensing_tpu.ops.s2d import space_to_depth
 
         return space_to_depth(self.encode_cond(cond))
+
+    def encode_cond_stem(self, cond):
+        """encode_cond_s2d + the conv0-bias/cond slab assembly consumed by
+        the fused stem kernel (tap44='stem'): everything loop-invariant
+        about h_s, pre-sliced into the kernel grid's overlapping row
+        windows. Hoisted out of the sampling scan by make_process."""
+        from diffusionremotesensing_tpu.ops.tap_block import build_cond_slabs
+
+        feats = self.encode_cond_s2d(cond)
+        dt = self.dtype or feats.dtype
+        b0 = jnp.tile(self._p(self.conv0, "conv", "bias"), 4).astype(dt)
+        return build_cond_slabs(
+            b0, feats.shape[0], feats.shape[1], feats.shape[2],
+            cond_s2d=feats, dtype=dt,
+        )
 
     def __call__(
         self, x, t, cond=None, cond_mask=None, train: bool = False,

@@ -185,6 +185,181 @@ def build_block_weights(
     }
 
 
+def stem_halves(H2: int) -> int:
+    """Row-partition count for :func:`tap_stem_block`'s (B, NH) grid: ~16
+    output rows per program keeps peak VMEM around 9 MB at the flagship
+    shape (the stem kernel holds conv0's column variants AND the block's
+    intermediates at once, vs ~6 MB for the 2-way :func:`tap_block`) against
+    the ~16 MB/core budget. Falls back toward 2 for shallow tiles."""
+    nh = max(2, H2 // 16)
+    while H2 % nh:
+        nh -= 1
+    return max(2, nh)
+
+
+def build_cond_slabs(b0_4, B, H2, W2, cond_s2d=None, nh=None, dtype=jnp.float32):
+    """Pre-assemble the loop-invariant part of the stem — conv0's tap-tiled
+    bias plus (when image-conditioned) the hoisted cond features — as the
+    per-program overlapping row slabs :func:`tap_stem_block` reads:
+    (B, NH, ROWS+4, W2, CO4), slab h covering h_s rows
+    [h*ROWS-2, h*ROWS+ROWS+2) with zero rows beyond the image (the kernel
+    masks those anyway). Pure function of params + cond — samplers hoist it
+    out of the reverse-diffusion scan (unet.encode_cond_stem)."""
+    nh = nh or stem_halves(H2)
+    rows = H2 // nh
+    base = jnp.broadcast_to(b0_4.astype(dtype), (B, H2, W2, b0_4.shape[-1]))
+    if cond_s2d is not None:
+        base = base + cond_s2d.astype(dtype)
+    p = jnp.pad(base, ((0, 0), (2, 2), (0, 0), (0, 0)))
+    return jnp.stack(
+        [p[:, h * rows : h * rows + rows + 4] for h in range(nh)], axis=1
+    )
+
+
+def _tap_stem_kernel(
+    x_ref,      # (1, H2, W2, Cx4)        s2d model input (the scan state)
+    condb_ref,  # (1, 1, ROWS+4, W2, C14) conv0 bias + cond slab (build_cond_slabs)
+    te_ref,     # (1, 1, CO4)             relu(time MLP) tiled over taps, row b
+    w0_ref,     # (3, 3, Cx4, C14)        dense-s2d conv0 kernel (ops/s2d.k3_to_s2d)
+    w1_ref,     # (16*Ci, 3*CO4)          [conv1' | skip | shortcut'] combined
+    w2_ref,     # (16*Cm, CO4)            conv2' (BN_1 folded), _ORDER rows
+    b1_ref, bsk_ref, bsh_ref, b2_ref,     # (1, CO4) each
+    out_ref,    # (1, ROWS, W2, CO4)      res0_s row-slab
+):
+    """tap_block extended downward through the stem: conv0 + bias + cond-add
+    (unet._forward_s2d's h_s) computed in VMEM on a 2-row-halo slab, then the
+    whole ResConvBlock-0 as in :func:`_tap_block_kernel`. h_s never exists in
+    HBM, and the loop-invariant cond rides in as pre-sliced per-program slabs
+    (no duplicate full-block DMA — the round-3 stem-absorb attempt's failure
+    mode, benchmarks/NOTES.md).
+
+    conv0 runs as 9 accumulating (N0*W2, Cx4) @ (Cx4, CO4) matmuls over
+    static column-variant slices — no im2col concat, so no lane-offset
+    relayouts (the packed_head lesson); K = Cx4 <= 128 pads a single MXU
+    pass regardless."""
+    part = pl.program_id(1)
+    H2, W2 = x_ref.shape[1], x_ref.shape[2]
+    ROWS = out_ref.shape[1]
+    CO4 = out_ref.shape[3]
+    Ci = w1_ref.shape[0] // 16   # block-input (= stem-output) taps: 4*Ci lanes
+    C14 = 4 * Ci
+    Cm = w2_ref.shape[0] // 16
+    SLAB = ROWS + 2   # conv1-output rows incl. 1-row halo
+    N0 = ROWS + 4     # h_s rows incl. 2-row halo
+    NH = H2 // ROWS
+    r0 = part * ROWS
+    dt = out_ref.dtype
+    has_skip = w1_ref.shape[1] // CO4 == 3
+
+    # ---- conv0 on h_s rows [r0-2, r0+ROWS+2): the row window of x is the
+    # only part-dependent slice (static per branch; Mosaic has no value
+    # dynamic_slice), everything below is slab-local
+    rp3 = jnp.pad(x_ref[0], ((3, 3), (0, 0), (0, 0)))
+    xslab = jax.lax.switch(
+        part,
+        [lambda i=i: rp3[i * ROWS : i * ROWS + ROWS + 6] for i in range(NH)],
+    )                                       # x rows [r0-3, r0+ROWS+3)
+    xvar = col_variants(xslab)
+    hp = jnp.zeros((N0, W2, C14), jnp.float32)
+    for dr in range(3):
+        for dc in range(3):
+            hp = hp + jax.lax.dot_general(
+                xvar[dc][dr : dr + N0], w0_ref[dr, dc],
+                (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+    hp = hp + condb_ref[0, 0].astype(jnp.float32)
+    rows0 = r0 - 2 + jax.lax.broadcasted_iota(jnp.int32, (N0, 1, 1), 0)
+    hp = jnp.where((rows0 >= 0) & (rows0 < H2), hp, 0.0).astype(dt)
+    # hp == h_s rows [r0-2, r0+ROWS+2), zeroed outside the image — the zeros
+    # double as the SAME padding of conv1 / the skip conv
+
+    # ---- ResConvBlock-0, same algebra as _tap_block_kernel (im2col sources
+    # are slab-local, so the slices are static without cond branches)
+    hpvar = col_variants(hp)
+    pieces = []
+    for (r, s) in _ORDER:
+        ar, qi = _RS[r]
+        as_, qj = _RS[s]
+        tb = 2 * qi + qj
+        pieces.append(hpvar[as_][ar : ar + SLAB, :, tb * Ci : (tb + 1) * Ci])
+    X1 = jnp.concatenate(pieces, axis=-1)                    # (SLAB, W2, 16Ci)
+    Y = jax.lax.dot_general(
+        X1, w1_ref[:], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    c1 = jnp.maximum(Y[..., :CO4] + b1_ref[0], 0.0)
+    if has_skip:
+        c1 = c1 + Y[..., CO4 : 2 * CO4] + bsk_ref[0]
+    h = c1 + te_ref[0, 0, :]
+    rows1 = r0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (SLAB, 1, 1), 0)
+    h = jnp.where((rows1 >= 0) & (rows1 < H2), h, 0.0).astype(dt)
+
+    hvar = col_variants(h)
+    pieces = []
+    for (r, s) in _ORDER:
+        ar, qi = _RS[r]
+        as_, qj = _RS[s]
+        tb = 2 * qi + qj
+        pieces.append(hvar[as_][ar : ar + ROWS, :, tb * Cm : (tb + 1) * Cm])
+    X2 = jnp.concatenate(pieces, axis=-1)                    # (ROWS, W2, 16Cm)
+    c2 = jax.lax.dot_general(
+        X2, w2_ref[:], (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) + b2_ref[0]
+    s = Y[1 : 1 + ROWS, :, w1_ref.shape[1] - CO4 :] + bsh_ref[0]
+    out_ref[0] = jnp.maximum(c2 + s, 0.0).astype(dt)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def tap_stem_block(x_s2d, condb, te4, bw, w0, interpret: bool = False):
+    """Fused stem + s2d ResConvBlock-0: x_s2d (B,H2,W2,4Cx) the raw s2d
+    model input, condb (B,NH,ROWS+4,W2,4Co) from :func:`build_cond_slabs`,
+    te4 (B,4Co) the tap-tiled relu'd time bias, bw from
+    :func:`build_block_weights`, w0 the dense-s2d conv0 kernel
+    (3,3,4Cx,4Co). Returns res0_s (B,H2,W2,4Co)."""
+    B, H2, W2, Cx4 = x_s2d.shape
+    NH = condb.shape[1]
+    ROWS = H2 // NH
+    CO4 = bw["w2"].shape[1]
+    C14 = condb.shape[-1]       # stem-output lanes (4 * block-input channels)
+    dt = x_s2d.dtype
+    row = lambda name: bw[name].reshape(1, CO4).astype(dt)  # noqa: E731
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _tap_stem_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H2, W2, CO4), dt),
+        grid=(B, NH),
+        in_specs=[
+            pl.BlockSpec((1, H2, W2, Cx4), lambda b, h: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ROWS + 4, W2, C14), lambda b, h: (b, h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CO4), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
+            vspec, vspec, vspec, vspec, vspec, vspec, vspec,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ROWS, W2, CO4), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H2 * W2 * (9 * Cx4 * C14
+                                     + 16 * (bw["w1"].shape[0] // 16) * bw["w1"].shape[1]
+                                     + 16 * CO4 // 4 * CO4),
+            bytes_accessed=(x_s2d.size + condb.size + B * H2 * W2 * CO4) * dt.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        x_s2d,
+        condb.astype(dt),
+        te4.astype(dt)[:, None, :],
+        w0.astype(dt),
+        bw["w1"].astype(dt),
+        bw["w2"].astype(dt),
+        row("b1"),
+        row("bsk"),
+        row("bsh"),
+        row("b2"),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def tap_block(x_s2d, te4, bw, interpret: bool = False):
     """Fused s2d ResConvBlock-0: x_s2d (B,H2,W2,4Ci), te4 (B,4Co) the

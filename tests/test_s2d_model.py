@@ -142,7 +142,7 @@ def test_tap44_forward_matches_s2d():
     t = np.array([2, 8], np.int32)
     cond = rng.random((2, 16, 16, 3)).astype(np.float32)
     ref = np.asarray(m0.apply(v, x, t, cond, train=False))
-    for level in ("conv2", True, "block", "l1"):
+    for level in ("conv2", True, "block", "stem", "l1"):
         m1 = residual_attention_unet_superres(
             magnification_factor=2, s2d=True, tap44=level
         )

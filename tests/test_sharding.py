@@ -272,3 +272,35 @@ def test_tap44_block_kernel_under_batch_sharded_mesh():
     ref = np.asarray(make_process(m0, "cosine", 4, 32).sampler()(v, key, xT, cond))
     got = np.asarray(make_process(m1, "cosine", 4, 32).sampler()(v, key, xT, cond))
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_tap44_stem_kernel_under_batch_sharded_mesh():
+    """Same pin for the fused-stem kernel (tap44='stem'): its extra 5-D cond
+    slab operand is batch-major (dim 0), so GSPMD partitions the kernel and
+    the encode_cond_stem hoist along the data axis together."""
+    from diffusionremotesensing_tpu.diffusion import make_process
+    from diffusionremotesensing_tpu.models.unet import (
+        init_unet_params,
+        residual_attention_unet_superres,
+    )
+    from diffusionremotesensing_tpu.parallel.sharding import (
+        batch_sharding,
+        make_mesh,
+        replicated_sharding,
+    )
+
+    mesh = make_mesh()
+    m0 = residual_attention_unet_superres(magnification_factor=2, s2d=True)
+    m1 = residual_attention_unet_superres(magnification_factor=2, s2d=True, tap44="stem")
+    v = init_unet_params(m0, jax.random.PRNGKey(0), image_size=32)
+    v = jax.device_put(v, replicated_sharding(mesh))
+    xT = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3)), batch_sharding(mesh)
+    )
+    cond = jax.device_put(
+        jax.random.uniform(jax.random.PRNGKey(2), (8, 16, 16, 3)), batch_sharding(mesh)
+    )
+    key = jax.random.PRNGKey(3)
+    ref = np.asarray(make_process(m0, "cosine", 4, 32).sampler()(v, key, xT, cond))
+    got = np.asarray(make_process(m1, "cosine", 4, 32).sampler()(v, key, xT, cond))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
