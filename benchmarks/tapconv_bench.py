@@ -51,7 +51,15 @@ def main():
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--batch", type=int, default=48)
     p.add_argument("--skip_pallas", action="store_true")
+    p.add_argument("--stem", action="store_true",
+                   help="compare the fused stem kernel (tap_stem_block) vs "
+                        "XLA conv0+bias+cond-add feeding tap_block, at the "
+                        "flagship level-0 shape")
     args = p.parse_args()
+
+    if args.stem:
+        _stem_bench(args)
+        return
 
     from bench import _machine_scoped_cache
 
@@ -114,6 +122,65 @@ def main():
         gf_pair = 2 * 2 * B * H2 * H2 * 9 * 16 * 32 / 1e9
         print(f"conv1+skip pallas-pair {t*1e6:8.1f} us  "
               f"{gf_pair/t/1e3:6.1f} TF/s(ref, shared im2col)", flush=True)
+
+
+def _stem_bench(args):
+    """Chained A/B of the level-0 entry at the flagship shape: the fused
+    stem kernel (conv0 + bias + cond-add + whole ResConvBlock-0 in one
+    Pallas program) vs the adopted round-3 path (XLA dense-s2d conv0 +
+    add fusion feeding the tap_block kernel)."""
+    from bench import _machine_scoped_cache
+
+    jax.config.update("jax_compilation_cache_dir", _machine_scoped_cache())
+
+    from diffusionremotesensing_tpu.ops.s2d import conv_s2d, k3_to_s2d
+    from diffusionremotesensing_tpu.ops.tap_block import (
+        build_block_weights,
+        build_cond_slabs,
+        tap_block,
+        tap_stem_block,
+    )
+
+    B, H2 = args.batch, 64
+    SAME = ((1, 1), (1, 1))
+    r = lambda k, s, sc: jax.random.normal(jax.random.PRNGKey(k), s, jnp.float32) * sc  # noqa: E731
+    bn = lambda k: {"scale": r(k, (32,), 0.1) + 1.0, "bias": r(k + 1, (32,), 0.05),  # noqa: E731
+                    "mean": r(k + 2, (32,), 0.05), "var": jnp.abs(r(k + 3, (32,), 0.1)) + 0.9}
+    bw = build_block_weights(
+        r(1, (3, 3, 16, 32), 0.04), r(2, (32,), 0.02), bn(10),
+        r(3, (3, 3, 16, 32), 0.04), r(4, (32,), 0.02),
+        r(5, (3, 3, 32, 32), 0.04), r(6, (32,), 0.02), bn(20),
+        r(7, (1, 1, 16, 32), 0.04), r(8, (32,), 0.02), bn(30),
+    )
+    dt = jnp.bfloat16
+    w0 = k3_to_s2d(r(9, (3, 3, 3, 16), 0.1))
+    b04 = jnp.tile(r(11, (16,), 0.02), 4)
+    cond = r(12, (B, H2, H2, 64), 0.2).astype(dt)
+    te4 = jnp.tile(jnp.maximum(r(13, (B, 32), 0.1), 0.0), (1, 4)).astype(dt)
+    condb = jax.device_put(build_cond_slabs(b04, B, H2, H2, cond_s2d=cond, dtype=dt))
+    w0d = jax.device_put(w0.astype(dt))
+    b04d = jax.device_put(b04.astype(dt))
+    x = jax.random.normal(jax.random.PRNGKey(14), (B, H2, H2, 12), dt)
+
+    def xla_path(c):
+        h = conv_s2d(c, w0d, SAME) + b04d + cond
+        return tap_block(h, te4, bw)[..., :12]
+
+    def stem_path(c):
+        return tap_stem_block(c, condb, te4, bw, w0d)[..., :12]
+
+    # ref-math GFLOP for the whole block entry (conv0 + conv1 + skip +
+    # shortcut + conv2 on original pixels)
+    gf = 2 * B * (2 * H2) ** 2 * (9 * 3 * 16 + 9 * 16 * 32 * 2 + 16 * 32 + 9 * 32 * 32) / 1e9
+    for lbl, op in (("xla+block", xla_path), ("stem", stem_path)):
+        t = _timed_loop(op, x, args.iters, args.reps)
+        print(f"level0-entry {lbl:10s} {t*1e6:8.1f} us  {gf/t/1e3:6.1f} TF/s(ref)",
+              flush=True)
+
+    ref = np.asarray(xla_path(x), np.float32)
+    got = np.asarray(stem_path(x), np.float32)
+    assert np.abs(got - ref).max() < 0.25, "stem kernel mismatch on device"
+    print("on-device stem == xla+block (bf16 tol) OK", flush=True)
 
 
 if __name__ == "__main__":
