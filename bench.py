@@ -165,6 +165,51 @@ def bench_torch_baseline():
     return rate
 
 
+def _wait_for_tpu():
+    """Bounded wait for the remote-TPU tunnel before the real run.
+
+    The axon tunnel has observed multi-hour outages (backend init hangs or
+    returns UNAVAILABLE, benchmarks/NOTES.md); JAX caches a backend-init
+    failure for the life of the process, so the probe runs in a SUBPROCESS
+    and only the success/failure bit crosses back. Retries for up to
+    DRS_TPU_WAIT_S seconds (default 900; 0 disables), then falls through to
+    the normal path either way — a still-down tunnel fails there with the
+    usual UNAVAILABLE error. Probe chatter goes to stderr; stdout keeps the
+    one-JSON-line contract."""
+    import subprocess
+
+    deadline = time.monotonic() + float(os.environ.get("DRS_TPU_WAIT_S", "900"))
+    probe = (
+        "import jax; jax.devices(); x = jax.numpy.ones((8, 128));"
+        "jax.block_until_ready(x @ x.T)"
+    )
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], timeout=180,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"bench: TPU reachable (attempt {attempt})", file=sys.stderr)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            print(
+                f"bench: TPU still unreachable after {attempt} probes; "
+                "proceeding anyway", file=sys.stderr,
+            )
+            return
+        print(
+            f"bench: TPU unreachable (probe {attempt}); retrying in 60s",
+            file=sys.stderr,
+        )
+        time.sleep(60)
+
+
 def main():
     # honor DRS_FORCE_CPU=1 like the other CLIs (the sitecustomize-pinned
     # remote-TPU platform ignores JAX_PLATFORMS env overrides): makes the
@@ -173,6 +218,8 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    else:
+        _wait_for_tpu()
     n_patches = _patch_count()
     tile_s, tile_ddim_s, kind = bench_tpu()
     fwd_per_tile = n_patches * (T - 1)
