@@ -130,7 +130,12 @@ def bench_tpu():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    agg = AggregationSampler(proc, PATCH, STRIDE, MAG, batch_size=BATCH)
+    # DRS_FUSED_UPDATE=1: fused Pallas ancestral-update + on-chip PRNG
+    # (ops/fused_update.py) for same-window A/B runs
+    fused = os.environ.get("DRS_FUSED_UPDATE") == "1"
+    agg = AggregationSampler(
+        proc, PATCH, STRIDE, MAG, batch_size=BATCH, fused_update=fused
+    )
     tile_s = run_tile(agg, reps=3)
 
     agg_ddim = AggregationSampler(

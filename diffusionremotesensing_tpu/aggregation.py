@@ -118,6 +118,10 @@ class AggregationSampler:
         # 31.8 dB/0.934 to 33.95 dB/0.960 SSIM — beating bicubic on BOTH
         # metrics at the sub-second tile point (benchmarks/NOTES.md round-3)
         ddim_clip_x0: bool = True,
+        # fused Pallas ancestral update + on-chip PRNG (ops/fused_update.py,
+        # TPU-only). Same noise distribution, different stream than the
+        # threefry path -> opt-in, default OFF (repo invariant)
+        fused_update: bool = False,
     ):
         assert stride <= patch_size
         self.process = process
@@ -130,6 +134,7 @@ class AggregationSampler:
         self.ddim_eta = ddim_eta
         self.ddim_spacing = ddim_spacing
         self.ddim_clip_x0 = ddim_clip_x0
+        self.fused_update = fused_update
         self.n_devices = mesh.devices.size if mesh is not None else 1
         hr = patch_size * magnification_factor
         self.weight = gaussian_weights(hr, hr)  # (hr, hr)
@@ -158,7 +163,7 @@ class AggregationSampler:
                 tau_spacing=self.ddim_spacing, clip_x0=self.ddim_clip_x0,
             )
         else:
-            sampler = self.process.sampler()
+            sampler = self.process.sampler(fused_update=self.fused_update)
         chunk = self._chunk()
         n = patches.shape[0]
         hr = self.patch_size * self.mag

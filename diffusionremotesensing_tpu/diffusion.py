@@ -57,6 +57,14 @@ def _normal_packed(key: jax.Array, shape, dtype) -> jnp.ndarray:
     return jax.random.normal(key, (n,), dtype=dtype).reshape(shape)
 
 
+def _key_bits(key: jax.Array) -> jnp.ndarray:
+    """The (2,) uint32 material of a PRNG key (typed or raw) — seed input
+    for the fused-update kernel's on-chip generator."""
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        return jax.random.key_data(key)
+    return key
+
+
 def q_sample(schedule: Schedule, x0: jnp.ndarray, t: jnp.ndarray, key: jax.Array):
     """Forward noising. Returns (x_t, eps) with eps ~ N(0, I).
 
@@ -100,6 +108,7 @@ def make_sampler(
     encode_cond_fn: Optional[Callable] = None,
     prepare_fn: Optional[Callable] = None,
     state_codec: Optional[tuple] = None,
+    fused_update: bool = False,
 ):
     """Build a jittable ancestral sampler closed over the model apply fn.
 
@@ -117,6 +126,13 @@ def make_sampler(
     alternate layout across the scan (s2d execution): x_T is encoded once,
     per-step noise is drawn in the ORIGINAL layout and encoded (bitwise-
     identical sampling), and the final state is decoded once.
+
+    ``fused_update=True`` (TPU-only, opt-in) runs the per-step ancestral
+    update + noise draw as one Pallas program with the on-chip hardware
+    PRNG (ops/fused_update.py) instead of the threefry fusion. Same
+    distribution, DIFFERENT noise stream — not bitwise reproducible against
+    the default path, hence default OFF (repo invariant: behavior-changing
+    additions are opt-in).
 
     Returns sample(variables, key, x_T, cond) -> x0 (or (x0, frames) when
     ``capture_frames``; frames has shape (T-1, B, H, W, C) — the denoising
@@ -173,11 +189,23 @@ def make_sampler(
             k, k_noise = jax.random.split(k)
             t = jnp.full((n,), i, dtype=jnp.int32)
             eps_hat = eps_fn(x, t)
-            z = _normal_packed(k_noise, orig_shape, x.dtype)
-            if enc is not None:
-                z = enc(z)
-            z = jnp.where(i > 1, z, jnp.zeros_like(z))
-            x = ddpm_step(schedule, x, eps_hat, i, z)
+            if fused_update:
+                from diffusionremotesensing_tpu.ops.fused_update import (
+                    ancestral_update,
+                    update_coefs,
+                )
+
+                # noise drawn in-kernel (hardware PRNG) directly in the scan
+                # layout; the i>1 zeroing rides in the cn coefficient
+                x = ancestral_update(
+                    x, eps_hat, update_coefs(schedule, i), _key_bits(k_noise)
+                )
+            else:
+                z = _normal_packed(k_noise, orig_shape, x.dtype)
+                if enc is not None:
+                    z = enc(z)
+                z = jnp.where(i > 1, z, jnp.zeros_like(z))
+                x = ddpm_step(schedule, x, eps_hat, i, z)
             frame = (dec(x) if dec is not None else x) if capture_frames else None
             return (x, k), frame
 
@@ -399,9 +427,14 @@ class DiffusionProcess:
     def sample_timesteps(self, key, n):
         return sample_timesteps(key, n, self.noise_steps)
 
-    def sampler(self, cfg_scale: Optional[float] = None, capture_frames: bool = False):
+    def sampler(
+        self,
+        cfg_scale: Optional[float] = None,
+        capture_frames: bool = False,
+        fused_update: bool = False,
+    ):
         """Return the jitted sampler for the given CFG/frames configuration."""
-        cache_key = (cfg_scale, capture_frames)
+        cache_key = (cfg_scale, capture_frames, fused_update)
         if cache_key not in self._samplers:
             fn = make_sampler(
                 self.apply_fn,
@@ -411,6 +444,7 @@ class DiffusionProcess:
                 encode_cond_fn=self.encode_cond_fn,
                 prepare_fn=self.prepare_fn,
                 state_codec=self.state_codec,
+                fused_update=fused_update,
             )
             self._samplers[cache_key] = jax.jit(fn)
         return self._samplers[cache_key]
