@@ -55,6 +55,11 @@ if __name__ == "__main__":
                         choices=["auto", "off", "conv2", "full", "block", "stem", "l1"],
                         help="tap-structured Pallas kernels for the s2d level-0 "
                              "convs (auto = fused-block kernel on TPU, off elsewhere)")
+    parser.add_argument("--fused_update", type=lambda v: str(v).lower() in ("yes", "true", "t", "1"),
+                        nargs="?", const=True, default=False,
+                        help="fused Pallas ancestral update with the on-chip "
+                             "hardware PRNG (TPU-only; same noise distribution, "
+                             "different stream than the default threefry path)")
     parser.add_argument("--multiple_gpus", type=lambda v: str(v).lower() in ("yes", "true", "t", "1"),
                         nargs="?", const=True, default=False,
                         help="shard the patch batch across all local chips")

@@ -624,6 +624,7 @@ def launch_aggregation(args) -> None:
         ddim_eta=getattr(args, "ddim_eta", 0.0),
         ddim_spacing=getattr(args, "ddim_spacing", "linear"),
         ddim_clip_x0=getattr(args, "ddim_clip_x0", True),
+        fused_update=getattr(args, "fused_update", False),
     )
     out = sampler(variables, arr)
     save_image(out, args.destination_path)
