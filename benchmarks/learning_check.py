@@ -139,6 +139,10 @@ def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int 
         proc, patch_size=HR // mag, stride=HR // (2 * mag), magnification_factor=mag,
         ddim_steps=ddim_steps, ddim_eta=ddim_eta, ddim_spacing=ddim_spacing,
         ddim_clip_x0=ddim_clip_x0,
+        # DRS_FUSED_UPDATE=1: quality-gate the fused Pallas update kernel
+        # (ops/fused_update.py) — different noise stream, so PSNR/SSIM
+        # equivalence must be demonstrated here before any adoption
+        fused_update=os.environ.get("DRS_FUSED_UPDATE") == "1",
     )
 
     rows = []
@@ -246,7 +250,8 @@ def evaluate_sar(root: str, snapshot: str, ddim_steps: int | None, noise_steps: 
     sampler = (
         proc.ddim_sampler(ddim_steps, ddim_eta, tau_spacing=ddim_spacing,
                           clip_x0=ddim_clip_x0)
-        if ddim_steps else proc.sampler()
+        if ddim_steps
+        else proc.sampler(fused_update=os.environ.get("DRS_FUSED_UPDATE") == "1")
     )
     key = jax.random.PRNGKey(5)
     x_T = jax.random.normal(jax.random.fold_in(key, 0), (n, SAR_SIZE, SAR_SIZE, 1))
