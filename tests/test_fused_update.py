@@ -94,3 +94,28 @@ def test_sampler_wiring_eval_shape():
         sample, {"w": jnp.ones(())}, jax.random.PRNGKey(0), x_T, None
     )
     assert out.shape == x_T.shape and out.dtype == x_T.dtype
+
+
+def test_kernel_under_batch_sharded_mesh():
+    """The kernel grid is batch-parallel; GSPMD must partition it along the
+    data axis (pins the AggregationSampler mesh= + fused_update combination
+    at the kernel level; bits replicated, state/eps batch-sharded)."""
+    from diffusionremotesensing_tpu.parallel.sharding import (
+        batch_sharding,
+        make_mesh,
+        replicated_sharding,
+    )
+
+    B, H, W, C = 8, 8, 8, 12
+    x, eps = _rand((B, H, W, C), 8), _rand((B, H, W, C), 9)
+    bits = _bits((2, B, H, W, C), 10)
+    sch = make_schedule("cosine", 100)
+    coefs = update_coefs(sch, jnp.int32(40))
+    seed = jnp.zeros(2, jnp.uint32)
+    ref = np.asarray(ancestral_update(x, eps, coefs, seed, bits=bits, interpret=True))
+    mesh = make_mesh()
+    xs = jax.device_put(x, batch_sharding(mesh))
+    es = jax.device_put(eps, batch_sharding(mesh))
+    bs = jax.device_put(bits, replicated_sharding(mesh))
+    got = np.asarray(ancestral_update(xs, es, coefs, seed, bits=bs, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
