@@ -442,9 +442,13 @@ class ResidualAttentionUNet(nn.Module):
             if cond_features is not None and cond_features.ndim == 5:
                 condb = cond_features
             else:
+                # bias-only slabs (no condition image) are batch-invariant:
+                # build at B=1 so they stay a loop constant under sampling
+                # scans instead of a per-step (B,NH,...) assembly
                 condb = build_cond_slabs(
                     tile(self._p(self.conv0, "conv", "bias")),
-                    xs.shape[0], xs.shape[1], xs.shape[2],
+                    xs.shape[0] if cond_features is not None else 1,
+                    xs.shape[1], xs.shape[2],
                     cond_s2d=cond_features, dtype=dt,
                 )
             te = self._time_bias(blk, t_emb.astype(dt), dt)

@@ -314,8 +314,14 @@ def tap_stem_block(x_s2d, condb, te4, bw, w0, interpret: bool = False):
     model input, condb (B,NH,ROWS+4,W2,4Co) from :func:`build_cond_slabs`,
     te4 (B,4Co) the tap-tiled relu'd time bias, bw from
     :func:`build_block_weights`, w0 the dense-s2d conv0 kernel
-    (3,3,4Cx,4Co). Returns res0_s (B,H2,W2,4Co)."""
+    (3,3,4Cx,4Co). Returns res0_s (B,H2,W2,4Co).
+
+    condb may have leading dim 1 (batch-broadcast): the bias-only slab of
+    unconditioned/label-conditioned models is identical across the batch,
+    so building it at B=1 keeps it a tiny loop constant instead of a
+    per-step (B,NH,...) assembly inside the sampling scan."""
     B, H2, W2, Cx4 = x_s2d.shape
+    Bc = condb.shape[0]
     NH = condb.shape[1]
     ROWS = H2 // NH
     CO4 = bw["w2"].shape[1]
@@ -330,7 +336,9 @@ def tap_stem_block(x_s2d, condb, te4, bw, w0, interpret: bool = False):
         in_specs=[
             pl.BlockSpec((1, H2, W2, Cx4), lambda b, h: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ROWS + 4, W2, C14), lambda b, h: (b, h, 0, 0, 0),
+            pl.BlockSpec((1, 1, ROWS + 4, W2, C14),
+                         (lambda b, h: (b, h, 0, 0, 0)) if Bc == B
+                         else (lambda b, h: (0, h, 0, 0, 0)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, CO4), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
             vspec, vspec, vspec, vspec, vspec, vspec, vspec,
