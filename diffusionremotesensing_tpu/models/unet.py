@@ -115,6 +115,15 @@ class ResidualAttentionUNet(nn.Module):
     # round-3 packed-head entry). Kept opt-in (True) with exactness pinned;
     # default off. Requires H/2 % 8 == 0 (falls back to the XLA pair).
     packed_head: object = False
+    # Fused Pallas program for the s2d stage-2 attention region
+    # (ops/att_block.py): gating2 + the whole additive attention gate +
+    # the composed head's 12-lane attn-branch conv as a V=8 packed matmul,
+    # one read of res0_s/h, one packed write — the region runs as four
+    # standalone HBM-bound XLA fusions (~490us/step incl. head_at) in the
+    # round-3 profile. Inference only; takes precedence over packed_head's
+    # pair kernel (head_at lives here); requires H/2 % 8 == 0 (falls back
+    # to the XLA path). Measurement in benchmarks/NOTES.md round-3.
+    fused_att: object = False
 
     def setup(self):
         dc, uc = self.down_channels, self.up_channels
@@ -385,6 +394,34 @@ class ResidualAttentionUNet(nn.Module):
         # the per-edge deficits are assembled into a bias frame at runtime)
         b_T = jnp.tile(self._p(up, "transform", "bias"), 4)       # (256,)
         k["head_b"] = jnp.tile(b_up @ w_out + b_out, 4)           # (out4,)
+        if self.fused_att:
+            # fused stage-2 attention + packed head_at (ops/att_block.py):
+            # both inference BNs folded here, loop-invariant, hoisted with
+            # the rest of the kernel dict
+            from diffusionremotesensing_tpu.ops.att_block import build_att_weights
+
+            gat, att = self.gatings[2], self.attentions[2]
+            bnd = lambda m: {  # noqa: E731
+                "scale": m.variables["params"]["BatchNorm_0"]["scale"],
+                "bias": m.variables["params"]["BatchNorm_0"]["bias"],
+                "mean": m.variables["batch_stats"]["BatchNorm_0"]["mean"],
+                "var": m.variables["batch_stats"]["BatchNorm_0"]["var"],
+            }
+            k["att_fused"] = build_att_weights(
+                self._p(gat, "conv", "conv", "kernel"),
+                self._p(gat, "conv", "conv", "bias"),
+                bnd(gat),
+                self._p(att, "w_g", "conv", "kernel"),
+                self._p(att, "w_g", "conv", "bias"),
+                k["att_wx"],
+                self._p(att, "w_x", "conv", "bias"),
+                self._p(att, "psi", "conv", "kernel"),
+                self._p(att, "psi", "conv", "bias"),
+                k["att_rc"],
+                self._p(att, "result_conv", "conv", "bias"),
+                bnd(att),
+                k["head_at"],
+            )
         dt = self.dtype
         if dt is not None:
             k = jax.tree_util.tree_map(lambda a: a.astype(dt), k)
@@ -593,11 +630,34 @@ class ResidualAttentionUNet(nn.Module):
         h = self.up_convs[1](h)
 
         # ---- up stage 2: gate + UpConvBlock + concat-conv, level-0 in s2d
-        g = self.gatings[2](h, train=train)
-        attn_s = self._attention_s2d(
-            self.attentions[2], res0_s, g, kern["att_wx"], kern["att_rc"],
-            dt, train, updates, "attention2", "s2d.att",
+        # fused_att: gating2 + the whole attention gate + the packed head_at
+        # conv as ONE Pallas program (ops/att_block.py) — attn_s never
+        # exists in HBM. Falls back to the XLA chain when rows don't split
+        # into whole packed groups.
+        use_fa = (
+            not train
+            and bool(self.fused_att)
+            and "att_fused" in kern
+            and res0_s.shape[1] % 8 == 0
         )
+        if use_fa:
+            from diffusionremotesensing_tpu.ops.att_block import (
+                att_head_block,
+                unpack_v8,
+            )
+
+            with jax.named_scope("s2d.att_head"):
+                at_p = att_head_block(
+                    res0_s, h, kern["att_fused"],
+                    interpret=jax.default_backend() != "tpu",
+                )
+            head_at_out = unpack_v8(at_p, kern["head_at"].shape[3])
+        else:
+            g = self.gatings[2](h, train=train)
+            attn_s = self._attention_s2d(
+                self.attentions[2], res0_s, g, kern["att_wx"], kern["att_rc"],
+                dt, train, updates, "attention2", "s2d.att",
+            )
 
         up = self.ups[2]
         te = self._time_bias(up, t_emb.astype(dt), dt)
@@ -616,6 +676,7 @@ class ResidualAttentionUNet(nn.Module):
         use_ph = (
             not train
             and bool(self.packed_head)
+            and not use_fa  # head_at already lives in the fused-att kernel
             and "head_up4_p" in kern
             and hh.shape[1] % 8 == 0
         )
@@ -627,6 +688,9 @@ class ResidualAttentionUNet(nn.Module):
                     hh, attn_s, kern["head_up4_p"], kern["head_at_p"],
                     interpret=jax.default_backend() != "tpu",
                 )
+        elif use_fa:
+            out_s = _named_conv("s2d.head_up4", hh, kern["head_up4"], ((1, 2), (1, 2)), dt)
+            out_s = out_s + head_at_out
         else:
             out_s = _named_conv("s2d.head_up4", hh, kern["head_up4"], ((1, 2), (1, 2)), dt)
             out_s = out_s + _named_conv("s2d.head_at", attn_s, kern["head_at"], SAME, dt)
@@ -769,6 +833,7 @@ def residual_attention_unet_superres(
     s2d_train: bool = False,
     tap44: object = False,
     packed_head: object = False,
+    fused_att: object = False,
 ) -> ResidualAttentionUNet:
     """Superres UNet (ref UNet_model_superres.py:266): LR-image conditioned."""
     return ResidualAttentionUNet(
@@ -783,6 +848,7 @@ def residual_attention_unet_superres(
         s2d_train=s2d_train,
         tap44=tap44,
         packed_head=packed_head,
+        fused_att=fused_att,
     )
 
 
@@ -794,6 +860,7 @@ def residual_attention_unet_sar_to_ndvi(
     s2d_train: bool = False,
     tap44: object = False,
     packed_head: object = False,
+    fused_att: object = False,
 ) -> ResidualAttentionUNet:
     """SAR->NDVI UNet (ref UNet_model_SAR_TO_NDVI.py:263): SAR-image conditioned."""
     return ResidualAttentionUNet(
@@ -806,6 +873,7 @@ def residual_attention_unet_sar_to_ndvi(
         s2d_train=s2d_train,
         tap44=tap44,
         packed_head=packed_head,
+        fused_att=fused_att,
     )
 
 
@@ -818,6 +886,7 @@ def residual_attention_unet_generation(
     s2d_train: bool = False,
     tap44: object = False,
     packed_head: object = False,
+    fused_att: object = False,
 ) -> ResidualAttentionUNet:
     """Class-conditional UNet (ref UNet_model_generation.py:226) with CFG masking."""
     return ResidualAttentionUNet(
@@ -830,6 +899,7 @@ def residual_attention_unet_generation(
         s2d_train=s2d_train,
         tap44=tap44,
         packed_head=packed_head,
+        fused_att=fused_att,
     )
 
 
