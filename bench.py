@@ -96,11 +96,13 @@ def bench_tpu():
         if tap44_env else default_tap44()
     )
     # DRS_FUSED_ATT=1 enables the fused stage-2 attention + packed head_at
-    # kernel (ops/att_block.py) for same-window A/B measurements
+    # kernel (ops/att_block.py); DRS_DEC_BLOCK=1 the fused decoder tail
+    # (ops/dec_block.py) — both for same-window A/B measurements
     model = residual_attention_unet_superres(
         magnification_factor=MAG, dtype=jnp.bfloat16, s2d=True, tap44=tap44,
         packed_head=os.environ.get("DRS_PACKED_HEAD") == "1",
         fused_att=os.environ.get("DRS_FUSED_ATT") == "1",
+        dec_block=os.environ.get("DRS_DEC_BLOCK") == "1",
     )
     # init on the CPU backend (flax init through the remote-TPU tunnel is
     # pathologically slow) with the f32 model so param dtypes stay float32

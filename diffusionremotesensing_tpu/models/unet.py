@@ -124,6 +124,14 @@ class ResidualAttentionUNet(nn.Module):
     # pair kernel (head_at lives here); requires H/2 % 8 == 0 (falls back
     # to the XLA path). Measurement in benchmarks/NOTES.md round-3.
     fused_att: object = False
+    # Fused Pallas program for the decoder tail (ops/dec_block.py): the
+    # stage-1 concat conv + UpConvBlock-2 body (time bias, conv, BN, relu)
+    # + the composed head_up4 as a V=8 packed matmul — ~1.13 ms/step of
+    # 64-lane-limited convs and HBM round trips in the round-3 profile.
+    # Inference only; composes with fused_att (which carries head_at) and
+    # excludes packed_head; requires H/2 % 8 == 0 (falls back to the XLA
+    # path). Measurement in benchmarks/NOTES.md round-3.
+    dec_block: object = False
 
     def setup(self):
         dc, uc = self.down_channels, self.up_channels
@@ -422,6 +430,26 @@ class ResidualAttentionUNet(nn.Module):
                 bnd(att),
                 k["head_at"],
             )
+        if self.dec_block:
+            # fused decoder tail (ops/dec_block.py): concat conv +
+            # UpConvBlock-2 body + packed head_up4; the UpConvBlock BN
+            # folded here, loop-invariant, hoisted with the kernel dict
+            from diffusionremotesensing_tpu.ops.dec_block import build_dec_weights
+
+            k["dec"] = build_dec_weights(
+                self._p(self.up_convs[1], "conv", "kernel"),
+                self._p(self.up_convs[1], "conv", "bias"),
+                self.up_channels[1],  # up-branch channels in the concat
+                self._p(up, "conv", "conv", "kernel"),
+                self._p(up, "conv", "conv", "bias"),
+                {
+                    "scale": up.variables["params"]["BatchNorm_0"]["scale"],
+                    "bias": up.variables["params"]["BatchNorm_0"]["bias"],
+                    "mean": up.variables["batch_stats"]["BatchNorm_0"]["mean"],
+                    "var": up.variables["batch_stats"]["BatchNorm_0"]["var"],
+                },
+                k["head_up4"],
+            )
         dt = self.dtype
         if dt is not None:
             k = jax.tree_util.tree_map(lambda a: a.astype(dt), k)
@@ -625,9 +653,28 @@ class ResidualAttentionUNet(nn.Module):
             )
         else:
             attn = self.attentions[1](res1, g, train=train)
-        h = self.ups[1](h, t_emb, train=train)
-        h = jnp.concatenate([h, attn], axis=-1)
-        h = self.up_convs[1](h)
+        hup = self.ups[1](h, t_emb, train=train)
+        # dec_block: stage-1 concat conv + UpConvBlock-2 body + packed
+        # head_up4 as ONE Pallas program (ops/dec_block.py); h still comes
+        # back to HBM for the gating branch, hh only as its boundary-fix
+        # strips. Falls back to the XLA chain on non-multiple-of-8 rows.
+        use_dec = (
+            not train
+            and bool(self.dec_block)
+            and "dec" in kern
+            and hup.shape[1] % 8 == 0
+        )
+        if use_dec:
+            from diffusionremotesensing_tpu.ops.dec_block import dec_block as _dec
+
+            te2 = self._time_bias(self.ups[2], t_emb.astype(dt), dt)
+            with jax.named_scope("s2d.dec_block"):
+                h, hh_row0, hh_col0, out_p = _dec(
+                    hup, attn, te2, kern["dec"],
+                    interpret=jax.default_backend() != "tpu",
+                )
+        else:
+            h = self.up_convs[1](jnp.concatenate([hup, attn], axis=-1))
 
         # ---- up stage 2: gate + UpConvBlock + concat-conv, level-0 in s2d
         # fused_att: gating2 + the whole attention gate + the packed head_at
@@ -659,13 +706,15 @@ class ResidualAttentionUNet(nn.Module):
                 dt, train, updates, "attention2", "s2d.att",
             )
 
-        up = self.ups[2]
-        te = self._time_bias(up, t_emb.astype(dt), dt)
-        hh = h + te[:, None, None, :]
-        hh = _named_conv("s2d.up2_conv", hh, self._p(up, "conv", "conv", "kernel"), SAME, dt)
-        hh = hh + self._p(up, "conv", "conv", "bias").astype(dt)
-        hh = self._bn_s2d(hh, up, "BatchNorm_0", dt, train, updates, "up2", taps=False)
-        hh = nn.relu(hh)
+        if not use_dec:
+            up = self.ups[2]
+            te = self._time_bias(up, t_emb.astype(dt), dt)
+            hh = h + te[:, None, None, :]
+            hh = _named_conv("s2d.up2_conv", hh, self._p(up, "conv", "conv", "kernel"), SAME, dt)
+            hh = hh + self._p(up, "conv", "conv", "bias").astype(dt)
+            hh = self._bn_s2d(hh, up, "BatchNorm_0", dt, train, updates, "up2", taps=False)
+            hh = nn.relu(hh)
+            hh_row0, hh_col0 = hh[:, :1], hh[:, :, :1]
 
         # head ∘ ConvTranspose composed into ONE 4x4 conv on the 64-ch hh
         # (~4x fewer MACs than up2_T + head; the (B,H/2,W/2,256) s2d
@@ -677,6 +726,7 @@ class ResidualAttentionUNet(nn.Module):
             not train
             and bool(self.packed_head)
             and not use_fa  # head_at already lives in the fused-att kernel
+            and not use_dec  # head_up4 already lives in the dec kernel
             and "head_up4_p" in kern
             and hh.shape[1] % 8 == 0
         )
@@ -688,20 +738,25 @@ class ResidualAttentionUNet(nn.Module):
                     hh, attn_s, kern["head_up4_p"], kern["head_at_p"],
                     interpret=jax.default_backend() != "tpu",
                 )
-        elif use_fa:
-            out_s = _named_conv("s2d.head_up4", hh, kern["head_up4"], ((1, 2), (1, 2)), dt)
-            out_s = out_s + head_at_out
         else:
-            out_s = _named_conv("s2d.head_up4", hh, kern["head_up4"], ((1, 2), (1, 2)), dt)
-            out_s = out_s + _named_conv("s2d.head_at", attn_s, kern["head_at"], SAME, dt)
+            if use_dec:
+                from diffusionremotesensing_tpu.ops.att_block import unpack_v8 as _upk
+
+                out_s = _upk(out_p, kern["head_at"].shape[3])
+            else:
+                out_s = _named_conv("s2d.head_up4", hh, kern["head_up4"], ((1, 2), (1, 2)), dt)
+            if use_fa:
+                out_s = out_s + head_at_out
+            else:
+                out_s = out_s + _named_conv("s2d.head_at", attn_s, kern["head_at"], SAME, dt)
         # boundary corrections: the composed conv leaks x-padding through
         # intermediate row/col -1, which the uncomposed head zeroed out
-        fix_t = _named_conv("s2d.head_fix_x", hh[:, :1], kern["head_fix_x"], ((0, 0), (1, 2)), dt)
-        fix_l = _named_conv("s2d.head_fix_y", hh[:, :, :1], kern["head_fix_y"], ((1, 2), (0, 0)), dt)
+        fix_t = _named_conv("s2d.head_fix_x", hh_row0, kern["head_fix_x"], ((0, 0), (1, 2)), dt)
+        fix_l = _named_conv("s2d.head_fix_y", hh_col0, kern["head_fix_y"], ((1, 2), (0, 0)), dt)
         out_s = out_s.at[:, :1].add(-fix_t).at[:, :, :1].add(-fix_l)
         # the two strips double-subtract the (0,0) corner term — re-add once
         out_s = out_s.at[:, :1, :1].add(
-            jnp.einsum("bi,io->bo", hh[:, 0, 0], kern["head_fix_c"])[:, None, None]
+            jnp.einsum("bi,io->bo", hh_row0[:, 0, 0], kern["head_fix_c"])[:, None, None]
         )
         # bias frame: the head's own bias is uniform; the ConvTranspose bias
         # flows through only the head taps whose intermediate row/col is in
@@ -834,6 +889,7 @@ def residual_attention_unet_superres(
     tap44: object = False,
     packed_head: object = False,
     fused_att: object = False,
+    dec_block: object = False,
 ) -> ResidualAttentionUNet:
     """Superres UNet (ref UNet_model_superres.py:266): LR-image conditioned."""
     return ResidualAttentionUNet(
@@ -849,6 +905,7 @@ def residual_attention_unet_superres(
         tap44=tap44,
         packed_head=packed_head,
         fused_att=fused_att,
+        dec_block=dec_block,
     )
 
 
@@ -861,6 +918,7 @@ def residual_attention_unet_sar_to_ndvi(
     tap44: object = False,
     packed_head: object = False,
     fused_att: object = False,
+    dec_block: object = False,
 ) -> ResidualAttentionUNet:
     """SAR->NDVI UNet (ref UNet_model_SAR_TO_NDVI.py:263): SAR-image conditioned."""
     return ResidualAttentionUNet(
@@ -874,6 +932,7 @@ def residual_attention_unet_sar_to_ndvi(
         tap44=tap44,
         packed_head=packed_head,
         fused_att=fused_att,
+        dec_block=dec_block,
     )
 
 
@@ -887,6 +946,7 @@ def residual_attention_unet_generation(
     tap44: object = False,
     packed_head: object = False,
     fused_att: object = False,
+    dec_block: object = False,
 ) -> ResidualAttentionUNet:
     """Class-conditional UNet (ref UNet_model_generation.py:226) with CFG masking."""
     return ResidualAttentionUNet(
@@ -900,6 +960,7 @@ def residual_attention_unet_generation(
         tap44=tap44,
         packed_head=packed_head,
         fused_att=fused_att,
+        dec_block=dec_block,
     )
 
 
