@@ -60,6 +60,15 @@ if __name__ == "__main__":
                         help="fused Pallas ancestral update with the on-chip "
                              "hardware PRNG (TPU-only; same noise distribution, "
                              "different stream than the default threefry path)")
+    parser.add_argument("--fused_att", type=lambda v: str(v).lower() in ("yes", "true", "t", "1"),
+                        nargs="?", const=True, default=False,
+                        help="fused Pallas stage-2 attention gate + packed "
+                             "head_at (ops/att_block.py; exact math, TPU-only)")
+    parser.add_argument("--dec_block", type=lambda v: str(v).lower() in ("yes", "true", "t", "1"),
+                        nargs="?", const=True, default=False,
+                        help="fused Pallas decoder tail: concat conv + "
+                             "UpConvBlock-2 + packed head_up4 "
+                             "(ops/dec_block.py; exact math, TPU-only)")
     parser.add_argument("--multiple_gpus", type=lambda v: str(v).lower() in ("yes", "true", "t", "1"),
                         nargs="?", const=True, default=False,
                         help="shard the patch batch across all local chips")

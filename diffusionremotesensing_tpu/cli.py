@@ -588,6 +588,8 @@ def launch_aggregation(args) -> None:
                {"off": False, "conv2": "conv2", "full": True, "block": "block",
                 "stem": "stem", "l1": "l1"}[tap44_arg])
         if s2d else False,
+        fused_att=bool(getattr(args, "fused_att", False)) and s2d,
+        dec_block=bool(getattr(args, "dec_block", False)) and s2d,
     )
     print(f"You are using {args.UNet_type} model")
 
