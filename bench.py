@@ -33,10 +33,13 @@ PATCH = 64          # reference Aggregation_Sampling.py:221 default
 STRIDE = 32         # reference :222 default (50% overlap)
 T = 1500            # reference inference default (superres_and_NDVIgen.py:27)
 DDIM_STEPS = 100
-BATCH = 48          # measured optimum under s2d execution: B48 hits 10458
+BATCH = int(os.environ.get("DRS_BENCH_BATCH", "48"))
+                    # measured optimum under s2d execution: B48 hits 10458
                     # fwd/s vs 8735 at B8 / 9363 at B32 / 8966 at B49 (T=1500
                     # sweep, benchmarks/NOTES.md round-2); the 49-patch tile
-                    # runs as one 48-chunk + one batch-1 remainder (0.31s)
+                    # runs as one 48-chunk + one batch-1 remainder (0.31s).
+                    # DRS_BENCH_BATCH overrides for re-sweeps when kernel
+                    # adoptions shift the balance (same-window A/B only)
 HR_PATCH = PATCH * MAG
 FLOPS_PER_FWD = 9.8e9  # manual count, HR128 forward (benchmarks/NOTES.md)
 BF16_PEAK = {          # dense bf16 peak FLOP/s per chip
