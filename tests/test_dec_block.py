@@ -157,3 +157,48 @@ def test_kernel_under_batch_sharded_mesh():
     got = dec_block(xas, xbs, tes, ws, interpret=True)
     for g, r in zip(got, ref):
         np.testing.assert_allclose(np.asarray(g), r, atol=1e-6)
+
+
+def test_model_full_stack_sar_one_channel():
+    """SAR->NDVI variant: out_dim=1 makes the packed heads 4-lane blocks
+    (V*out4 = 32) — pins the packing math at the narrowest real width."""
+    from diffusionremotesensing_tpu.models.unet import (
+        init_unet_params,
+        residual_attention_unet_sar_to_ndvi,
+    )
+
+    m0 = residual_attention_unet_sar_to_ndvi(s2d=True)
+    m1 = residual_attention_unet_sar_to_ndvi(
+        s2d=True, fused_att=True, dec_block=True
+    )
+    v = init_unet_params(m0, jax.random.PRNGKey(60), image_size=16)
+    rng = np.random.default_rng(60)
+    x = rng.standard_normal((2, 16, 16, 1)).astype(np.float32)
+    t = np.array([1, 3], np.int32)
+    sar = rng.random((2, 16, 16, 2)).astype(np.float32)
+    ref = np.asarray(m0.apply(v, x, t, sar, train=False))
+    got = np.asarray(m1.apply(v, x, t, sar, train=False))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_model_full_stack_generation_cfg():
+    """Class-conditional variant with a CFG mask through the full kernel
+    stack (bias-only stem slabs + fused attention + decoder tail)."""
+    from diffusionremotesensing_tpu.models.unet import (
+        init_unet_params,
+        residual_attention_unet_generation,
+    )
+
+    m0 = residual_attention_unet_generation(num_classes=4, s2d=True)
+    m1 = residual_attention_unet_generation(
+        num_classes=4, s2d=True, tap44="stem", fused_att=True, dec_block=True
+    )
+    v = init_unet_params(m0, jax.random.PRNGKey(61), image_size=16)
+    rng = np.random.default_rng(61)
+    x = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+    t = np.array([2, 6], np.int32)
+    lab = np.array([1, 3], np.int32)
+    mask = np.array([1.0, 0.0], np.float32)
+    ref = np.asarray(m0.apply(v, x, t, lab, cond_mask=mask, train=False))
+    got = np.asarray(m1.apply(v, x, t, lab, cond_mask=mask, train=False))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
