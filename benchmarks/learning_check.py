@@ -93,6 +93,25 @@ def _degrade_lr(hr_u8: np.ndarray, mag: int = MAG) -> np.ndarray:
     return np.asarray(lr, np.float32) / 255.0
 
 
+
+def _kernel_kwargs():
+    """Kernel-config env knobs shared with bench.py (the same A/B surface):
+    DRS_TAP44 overrides the tap44 level; DRS_FUSED_ATT / DRS_DEC_BLOCK
+    enable the fused attention / decoder-tail kernels (ops/att_block.py,
+    ops/dec_block.py). Used to quality-gate a kernel configuration through
+    the real eval path before any adoption decision (benchmarks/NOTES.md)."""
+    from diffusionremotesensing_tpu.models.unet import default_tap44
+
+    t = os.environ.get("DRS_TAP44")
+    return {
+        "tap44": ({"off": False, "conv2": "conv2", "full": True,
+                   "block": "block", "stem": "stem", "l1": "l1"}[t]
+                  if t else default_tap44()),
+        "fused_att": os.environ.get("DRS_FUSED_ATT") == "1",
+        "dec_block": os.environ.get("DRS_DEC_BLOCK") == "1",
+    }
+
+
 def _sampler_label(ddim_steps, noise_steps, eta, spacing, clip_x0) -> str:
     if not ddim_steps:
         return f"DDPM T={noise_steps}"
@@ -124,7 +143,6 @@ def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int 
     from diffusionremotesensing_tpu.aggregation import AggregationSampler
     from diffusionremotesensing_tpu.diffusion import make_process
     from diffusionremotesensing_tpu.models.unet import (
-        default_tap44,
         residual_attention_unet_superres,
     )
     from diffusionremotesensing_tpu.ops.resize import upsample_bicubic
@@ -132,7 +150,7 @@ def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int 
 
     variables = _load_eval_variables(snapshot)
     model = residual_attention_unet_superres(
-        magnification_factor=mag, dtype=jnp.bfloat16, s2d=True, tap44=default_tap44()
+        magnification_factor=mag, dtype=jnp.bfloat16, s2d=True, **_kernel_kwargs()
     )
     proc = make_process(model, "cosine", noise_steps, HR)
     agg = AggregationSampler(
@@ -229,14 +247,13 @@ def evaluate_sar(root: str, snapshot: str, ddim_steps: int | None, noise_steps: 
 
     from diffusionremotesensing_tpu.diffusion import make_process
     from diffusionremotesensing_tpu.models.unet import (
-        default_tap44,
         residual_attention_unet_sar_to_ndvi,
     )
     from diffusionremotesensing_tpu.utils import psnr, ssim
 
     variables = _load_eval_variables(snapshot)
     model = residual_attention_unet_sar_to_ndvi(
-        dtype=jnp.bfloat16, s2d=True, tap44=default_tap44()
+        dtype=jnp.bfloat16, s2d=True, **_kernel_kwargs()
     )
     proc = make_process(model, "cosine", noise_steps, SAR_SIZE)
 
@@ -361,14 +378,13 @@ def evaluate_gen(snapshot: str, n_per_class: int = 32, noise_steps: int = 1500,
 
     from diffusionremotesensing_tpu.diffusion import make_process
     from diffusionremotesensing_tpu.models.unet import (
-        default_tap44,
         residual_attention_unet_generation,
     )
 
     variables = _load_eval_variables(snapshot)
     model = residual_attention_unet_generation(
         num_classes=len(GEN_CLASSES), dtype=jnp.bfloat16, s2d=True,
-        tap44=default_tap44(),
+        **_kernel_kwargs(),
     )
     proc = make_process(model, "cosine", noise_steps, GEN_SIZE)
     labels = np.repeat(np.arange(len(GEN_CLASSES)), n_per_class).astype(np.int32)
