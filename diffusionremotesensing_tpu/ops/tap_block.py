@@ -253,12 +253,22 @@ def _tap_stem_kernel(
 
     # ---- conv0 on h_s rows [r0-2, r0+ROWS+2): the row window of x is the
     # only part-dependent slice (static per branch; Mosaic has no value
-    # dynamic_slice), everything below is slab-local
+    # dynamic_slice), everything below is slab-local. Branch selection is a
+    # MASKED SUM over the NH static slices: both lax.switch and lax.cond
+    # trees over pure-slice branches flatten to arith.select on packed bf16
+    # vectors (vector<8x128x2xbf16>), which fails to legalize on real TPU
+    # (interpret mode can't catch it — both failures observed on-chip,
+    # benchmarks/NOTES.md round-3). Scalar-mask FMA over the tiny
+    # (ROWS+6, W2, Cx4) slab is guaranteed-legal and costs NH reads of
+    # ~17K elements — noise next to the conv0 matmuls.
     rp3 = jnp.pad(x_ref[0], ((3, 3), (0, 0), (0, 0)))
-    xslab = jax.lax.switch(
-        part,
-        [lambda i=i: rp3[i * ROWS : i * ROWS + ROWS + 6] for i in range(NH)],
-    )                                       # x rows [r0-3, r0+ROWS+3)
+    xslab = jnp.zeros((ROWS + 6, W2, rp3.shape[2]), jnp.float32)
+    for i in range(NH):
+        m = (part == i).astype(jnp.float32)
+        xslab = xslab + m * rp3[i * ROWS : i * ROWS + ROWS + 6].astype(
+            jnp.float32
+        )
+    xslab = xslab.astype(dt)                # x rows [r0-3, r0+ROWS+3)
     xvar = col_variants(xslab)
     hp = jnp.zeros((N0, W2, C14), jnp.float32)
     for dr in range(3):
