@@ -51,13 +51,19 @@ _TWO_PI = 6.283185307179586
 def _bits_to_normal(b1, b2):
     """Box-Muller on two uint32 bit arrays -> N(0,1) f32 of the same shape.
 
-    u1 uses the TOP 24 bits shifted into (0,1] (the +1 guarantees
-    log(u1) is finite — bits==0 occurs ~150 times per 1500-step tile at
-    the flagship shape); u2 in [0,1). One draw per pair (the sin partner
-    is discarded; hardware bits are free)."""
-    shift = jnp.uint32(8)
-    u1 = (lax.shift_right_logical(b1, shift).astype(jnp.float32) + 1.0) * (2.0 ** -24)
-    u2 = lax.shift_right_logical(b2, shift).astype(jnp.float32) * (2.0 ** -24)
+    Uniforms come from the mantissa-bitcast trick — ``0x3F800000 | (bits
+    >> 9)`` reinterpreted as f32 is uniform in [1,2) — because Mosaic has
+    no uint32->f32 convert (sitofp); bitcast_convert_type lowers fine on
+    TPU and everywhere else. u1 = 2 - f in (0,1] keeps log(u1) finite at
+    bits==0 (occurs ~150 times per 1500-step tile at the flagship shape);
+    u2 = f - 1 in [0,1). One draw per pair (the sin partner is discarded;
+    hardware bits are free). 23-bit resolution."""
+    one = jnp.uint32(0x3F800000)
+    shift = jnp.uint32(9)
+    f1 = lax.bitcast_convert_type(one | lax.shift_right_logical(b1, shift), jnp.float32)
+    f2 = lax.bitcast_convert_type(one | lax.shift_right_logical(b2, shift), jnp.float32)
+    u1 = 2.0 - f1
+    u2 = f2 - 1.0
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     return r * jnp.cos(_TWO_PI * u2)
 
@@ -66,7 +72,12 @@ def _update_kernel(coef_ref, seed_ref, x_ref, eps_ref, o_ref):
     """o = ca*x - cb*eps + cn*z on one batch item, z from the on-chip PRNG
     seeded per (step key, batch program) for independent streams."""
     b = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0], seed_ref[1], b)
+    # Mosaic rejects prng_seed with >2 values ("Setting seed with more than
+    # 2 values is not supported", observed on-chip 08-18): fold the batch
+    # program id into the first word with a Knuth multiplicative hash so
+    # per-item streams stay decorrelated.
+    bh = jnp.uint32(b) * jnp.uint32(2654435761)
+    pltpu.prng_seed(seed_ref[0] ^ bh, seed_ref[1])
     shape = x_ref.shape
     b1 = pltpu.prng_random_bits(shape).astype(jnp.uint32)
     b2 = pltpu.prng_random_bits(shape).astype(jnp.uint32)

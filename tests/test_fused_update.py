@@ -28,9 +28,12 @@ def _bits(shape, seed=1):
 
 
 def _expected_z(bits):
+    # mirrors ops/fused_update._bits_to_normal's mantissa-bitcast uniforms
     b1, b2 = np.asarray(bits[0]), np.asarray(bits[1])
-    u1 = ((b1 >> 8).astype(np.float32) + 1.0) * 2.0**-24
-    u2 = (b2 >> 8).astype(np.float32) * 2.0**-24
+    f1 = (np.uint32(0x3F800000) | (b1 >> 9)).view(np.float32)
+    f2 = (np.uint32(0x3F800000) | (b2 >> 9)).view(np.float32)
+    u1 = np.float32(2.0) - f1
+    u2 = f2 - np.float32(1.0)
     return np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
 
 
