@@ -135,7 +135,8 @@ def _load_eval_variables(snapshot: str):
 
 def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int = 1500,
              ddim_eta: float = 0.0, ddim_spacing: str = "linear",
-             ddim_clip_x0: bool = True, mag: int = MAG):
+             ddim_clip_x0: bool = True, mag: int = MAG,
+             eval_patch: int | None = None, eval_stride: int | None = None):
     import jax
     import jax.numpy as jnp
     from PIL import Image
@@ -152,9 +153,16 @@ def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int 
     model = residual_attention_unet_superres(
         magnification_factor=mag, dtype=jnp.bfloat16, s2d=True, **_kernel_kwargs()
     )
+    # eval_patch overrides the LR patch size (stride = half): the model is
+    # fully convolutional, so a patch equal to the whole LR tile runs the
+    # tile as ONE forward chain per step (no 50%-overlap redundancy, no
+    # blend seams) — the "whole-tile mode" quality gate. Default keeps the
+    # reference-parity 64px/32 tiling.
+    patch = eval_patch or HR // mag
+    stride = eval_stride or max(patch // 2, 1)
     proc = make_process(model, "cosine", noise_steps, HR)
     agg = AggregationSampler(
-        proc, patch_size=HR // mag, stride=HR // (2 * mag), magnification_factor=mag,
+        proc, patch_size=patch, stride=stride, magnification_factor=mag,
         ddim_steps=ddim_steps, ddim_eta=ddim_eta, ddim_spacing=ddim_spacing,
         ddim_clip_x0=ddim_clip_x0,
         # DRS_FUSED_UPDATE=1: quality-gate the fused Pallas update kernel
@@ -183,6 +191,8 @@ def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int 
     summary = {
         "snapshot": snapshot,
         "magnification": mag,
+        "patch_size": patch,
+        "stride": stride,
         "sampler": _sampler_label(ddim_steps, noise_steps, ddim_eta,
                                   ddim_spacing, ddim_clip_x0),
         "tiles": rows,
@@ -467,6 +477,13 @@ def main():
                    help="clamp the per-step DDIM x0 prediction (default on, "
                         "matching the production surfaces; pass 'false' to disable)")
     p.add_argument("--noise_steps", type=int, default=1500)
+    p.add_argument("--eval_patch", type=int, default=None,
+                   help="LR patch size for --evaluate (stride = half; "
+                        "default 64/32 reference tiling; equal to the LR "
+                        "tile edge = whole-tile mode)")
+    p.add_argument("--eval_stride", type=int, default=None,
+                   help="LR stride for --evaluate (default eval_patch/2; "
+                        "= eval_patch gives non-overlapping tiling)")
     p.add_argument("--magnification", type=int, default=MAG,
                    help="SR factor of the snapshot under --evaluate (the "
                         "gate's eval tiles are degraded by the same factor)")
@@ -479,7 +496,8 @@ def main():
         assert args.snapshot, "--evaluate needs --snapshot"
         evaluate(args.evaluate, args.snapshot, args.ddim_steps, args.noise_steps,
                  ddim_eta=args.ddim_eta, ddim_spacing=args.ddim_spacing,
-                 ddim_clip_x0=args.ddim_clip_x0, mag=args.magnification)
+                 ddim_clip_x0=args.ddim_clip_x0, mag=args.magnification,
+                 eval_patch=args.eval_patch, eval_stride=args.eval_stride)
     if args.evaluate_sar:
         assert args.snapshot, "--evaluate_sar needs --snapshot"
         evaluate_sar(args.evaluate_sar, args.snapshot, args.ddim_steps, args.noise_steps,
