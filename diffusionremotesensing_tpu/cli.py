@@ -168,6 +168,7 @@ def _build_trainer(model, args, image_size, label_dropout=0.0, mesh=None,
         allow_random_vgg=getattr(args, "allow_random_vgg", False),
         batch_transform=batch_transform,
         checkpoint_backend=getattr(args, "checkpoint_backend", "msgpack"),
+        steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
     )
 
 

@@ -66,10 +66,14 @@ def spatial_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(None, axis_name))
 
 
-def shard_batch(batch, mesh: Optional[Mesh], axis_name: str = "data"):
-    """Place a pytree of host arrays onto the mesh, sharded along axis 0.
+def shard_batch(batch, mesh: Optional[Mesh], axis_name: str = "data",
+                batch_axis: int = 0):
+    """Place a pytree of host arrays onto the mesh, sharded along the batch
+    axis (default the leading axis; ``batch_axis=1`` for (K, B, ...) stacks
+    built by the steps_per_dispatch>1 train path — the scan axis stays
+    replicated).
 
-    Pads nothing: callers must make the leading dim divisible by the mesh
+    Pads nothing: callers must make the batch dim divisible by the mesh
     size (the data loader handles this).
 
     Single-process: a plain sharded device_put (the host array IS the global
@@ -81,16 +85,17 @@ def shard_batch(batch, mesh: Optional[Mesh], axis_name: str = "data"):
     """
     if mesh is None:
         return batch
-    sharding = batch_sharding(mesh, axis_name)
+    spec = P(*([None] * batch_axis + [axis_name]))
+    sharding = NamedSharding(mesh, spec)
     if jax.process_count() > 1:
         def place(x):
-            if hasattr(x, "ndim") and x.ndim > 0:
+            if hasattr(x, "ndim") and x.ndim > batch_axis:
                 return jax.make_array_from_process_local_data(sharding, np.asarray(x))
             return jax.device_put(x, replicated_sharding(mesh))
 
         return jax.tree_util.tree_map(place, batch)
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding) if hasattr(x, "ndim") and x.ndim > 0
+        lambda x: jax.device_put(x, sharding) if hasattr(x, "ndim") and x.ndim > batch_axis
         else jax.device_put(x, replicated_sharding(mesh)),
         batch,
     )

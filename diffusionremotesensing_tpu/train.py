@@ -95,6 +95,7 @@ class Trainer:
         allow_random_vgg: bool = False,
         batch_transform=None,
         checkpoint_backend: str = "msgpack",
+        steps_per_dispatch: int = 1,
     ):
         self.model = model
         self.image_size = image_size
@@ -144,7 +145,24 @@ class Trainer:
             )
         self.loss_fn = make_loss_fn(loss, vgg_variables=vgg_variables)
         self.optimizer = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+        # steps_per_dispatch > 1 runs K train steps per device dispatch as one
+        # jitted lax.scan over K stacked batches: the update sequence (and so
+        # the trained model) matches the K=1 path — same batches, same
+        # per-batch keys, same per-step EMA/BN-stat updates — with Kx fewer
+        # host->device round trips. Measured through the remote-TPU tunnel
+        # (B16, bf16, device-degradation transform; benchmarks/NOTES.md
+        # round-3): a WIN only in the dispatch-bound small-image regime —
+        # 64px K=8: 89 -> 142 steps/s (+60%, the reference generation-family
+        # shape) — and a LOSS where the stacked transfer is bandwidth-bound
+        # (128px: 59 -> 48; 256px: 16 -> 12), because the async K=1 stream
+        # already overlaps per-batch transfers with compute. Default 1;
+        # pinned equal to the single-step path in tests/test_multi_dispatch.py
+        # and under the real 2-process mesh in tests/mp_worker.py.
+        if steps_per_dispatch < 1:
+            raise ValueError(f"steps_per_dispatch must be >= 1, got {steps_per_dispatch}")
+        self.steps_per_dispatch = int(steps_per_dispatch)
         self._train_step = None
+        self._multi_step = None
         self._val_step = None
         from diffusionremotesensing_tpu.profiling import MetricsLogger
 
@@ -218,7 +236,10 @@ class Trainer:
 
     # ------------------------------------------------------------------ steps
 
-    def _build_train_step(self) -> Callable:
+    def _train_step_fn(self) -> Callable:
+        """The raw (unjitted) train step — shared by the single-dispatch jit
+        (`_build_train_step`) and the steps_per_dispatch>1 lax.scan wrapper
+        (`_build_multi_step`), so both paths compute identical math."""
         model, schedule, loss_fn, optimizer = self.model, self.schedule, self.loss_fn, self.optimizer
         T = self.process.noise_steps
         ema_on = self.ema_smoothing
@@ -270,11 +291,33 @@ class Trainer:
             )
             return new_state, loss
 
+        return train_step
+
+    def _build_train_step(self) -> Callable:
         # Sharding is carried by the inputs themselves: the batch is placed
         # with NamedSharding(data) by _prep_batch and the state is replicated
         # by replicate_state(); jit propagates both and inserts the gradient
         # all-reduce over ICI.
-        return jax.jit(train_step, donate_argnums=0)
+        return jax.jit(self._train_step_fn(), donate_argnums=0)
+
+    def _build_multi_step(self) -> Callable:
+        """K train steps as ONE dispatch: lax.scan of the shared step fn over
+        K stacked batches (dict of (K, B, ...) arrays) and (K,) keys. The
+        device-side batch transform (on-device degradation) moves inside the
+        scan body — per sub-batch, exactly where the K=1 path applies it."""
+        step = self._train_step_fn()
+        transform = self.batch_transform
+
+        def multi_step(state: TrainState, batches: Dict[str, jnp.ndarray], keys):
+            def body(st, xs):
+                b, k = xs
+                if transform is not None and "hr_u8" in b:
+                    b = transform(b)
+                return step(st, b, k)
+
+            return jax.lax.scan(body, state, (batches, keys))
+
+        return jax.jit(multi_step, donate_argnums=0)
 
     def _build_val_step(self) -> Callable:
         model, schedule, loss_fn = self.model, self.schedule, self.loss_fn
@@ -326,7 +369,7 @@ class Trainer:
         return self._key_buf.pop()
 
     def _prep_batch(
-        self, batch: Dict[str, np.ndarray], train: bool = True
+        self, batch: Dict[str, np.ndarray], train: bool = True, device: bool = True
     ) -> Dict[str, jnp.ndarray]:
         """Host batch -> device (sharded when on a mesh), with per-batch label
         dropout for CFG training. Training batches only — a conscious
@@ -340,11 +383,26 @@ class Trainer:
             n = out["x"].shape[0]
             drop = self._rng.random() < self.label_dropout
             out["cond_mask"] = np.full((n,), 0.0 if drop else 1.0, np.float32)
+        if not device:
+            # host-side prep only (steps_per_dispatch>1 accumulation): mesh
+            # placement happens on the stacked batch, the transform inside
+            # the multi-step scan
+            return out
         if self.mesh is not None:
             out = shard_batch(out, self.mesh)
         if self.batch_transform is not None and "hr_u8" in out:
             out = self.batch_transform(out)
         return out
+
+    def _stack_for_dispatch(self, prepped: list) -> Dict[str, np.ndarray]:
+        """Stack K host-prepped batches into (K, B, ...) arrays, mesh-placed
+        with the batch axis at dim 1 (the scan axis is dim 0)."""
+        stacked = {
+            k: np.stack([np.asarray(p[k]) for p in prepped]) for k in prepped[0]
+        }
+        if self.mesh is not None:
+            stacked = shard_batch(stacked, self.mesh, batch_axis=1)
+        return stacked
 
     # ------------------------------------------------------------------ loop
 
@@ -427,18 +485,57 @@ class Trainer:
                 t0 = time.time()
                 losses, nb = [], 0
                 epoch_cut_short = False
+                spd = self.steps_per_dispatch
+                pend: list = []
+                pend_keys: list = []
+                pend_sig: dict = {}
+
+                def _flush():
+                    # K pending batches -> ONE device dispatch (scan of the
+                    # shared step). A short tail (epoch end / field-set
+                    # change) scans at its own length — one extra compile
+                    # per distinct tail length, not per epoch.
+                    nonlocal state, nb
+                    if not pend:
+                        return
+                    if self._multi_step is None:
+                        self._multi_step = self._build_multi_step()
+                    state, ls = self._multi_step(
+                        state, self._stack_for_dispatch(pend), np.stack(pend_keys)
+                    )
+                    losses.append(ls)  # (k,) device array; stays on-device
+                    nb += len(pend)
+                    pend.clear()
+                    pend_keys.clear()
+
                 for batch in train_loader:
                     if self._stop_requested and not multiproc:
                         interrupted = True
                         epoch_cut_short = True
                         break
+                    if spd > 1:
+                        prepped = self._prep_batch(batch, device=False)
+                        sig = {k: np.shape(v) for k, v in prepped.items()}
+                        if pend and sig != pend_sig:
+                            _flush()  # field set or shapes changed (pad_mask
+                            # appearing, or a short un-padded final batch)
+                        pend_sig = sig
+                        pend.append(prepped)
+                        pend_keys.append(np.asarray(self.next_key()))
+                        if len(pend) == spd:
+                            _flush()
+                        continue
                     batch = self._prep_batch(batch)
                     state, loss = self._train_step(state, batch, self.next_key())
                     # keep losses on-device: a float() here would block dispatch
                     # of the next step and serialize host<->device every batch
                     losses.append(loss)
                     nb += 1
-                running = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+                _flush()
+                running = (
+                    float(jnp.mean(jnp.concatenate([jnp.atleast_1d(l) for l in losses])))
+                    if losses else 0.0
+                )
                 sps = nb / max(time.time() - t0, 1e-9)
                 if verbose and is_main_process():
                     tag = " [partial epoch]" if epoch_cut_short else ""

@@ -226,6 +226,21 @@ def main():
     )
     stop_epoch_steps = int(state.step) - final_step_main
 
+    # --- multi-dispatch under the REAL multi-process mesh: (K, B, ...)
+    # stacks are per-process slices joined into global arrays via
+    # make_array_from_process_local_data on batch axis 1 (sharding.shard_batch
+    # batch_axis=1) — must execute and produce rank-identical losses
+    trainer.steps_per_dispatch = 2
+    trainer._multi_step = None
+    spd_losses = []
+    orig_log = trainer.metrics.log
+    trainer.metrics.log = lambda **kw: spd_losses.append(float(kw["train_loss"]))
+    state = trainer.train(
+        state, epochs=1, train_loader=train_loader,
+        check_preds_epoch=10**6, verbose=False,
+    )
+    trainer.metrics.log = orig_log
+
     # loader shard disjointness under the real process indices
     train_loader.set_epoch(0)
     my_idx = sorted(int(i) for i in train_loader._shard_indices())
@@ -244,6 +259,7 @@ def main():
                 "snapshot_written": os.path.exists(snap),
                 "orbax_saved": orbax_saved,
                 "stop_epoch_steps": stop_epoch_steps,
+                "spd_losses": spd_losses,
                 "shard_indices_epoch0": my_idx,
             },
             f,

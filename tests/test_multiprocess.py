@@ -167,6 +167,19 @@ def test_preemption_stop_is_agreed_across_ranks(mp_results):
     assert steps[0] == steps[1] == 2, steps
 
 
+def test_multi_dispatch_runs_under_multiprocess_mesh(mp_results):
+    """steps_per_dispatch=2 under the REAL 2-process mesh: the (K, B, ...)
+    stacks are per-process slices joined via make_array_from_process_local_data
+    on batch axis 1 — one full epoch must execute (2 sharded batches -> one
+    K=2 flush) with a finite, rank-identical loss."""
+    import numpy as np
+
+    losses = [mp_results[p]["spd_losses"] for p in range(NPROC)]
+    assert len(losses[0]) == 1, losses  # one epoch logged
+    assert losses[0] == losses[1], losses
+    assert np.isfinite(losses[0][0])
+
+
 def test_loader_shards_partition_dataset(mp_results):
     a = mp_results[0]["shard_indices_epoch0"]
     b = mp_results[1]["shard_indices_epoch0"]
