@@ -86,18 +86,13 @@ def bench_tpu():
     # tap44='block': fused whole-ResConvBlock-0 Pallas kernel (BN folded,
     # shared im2col; ops/tap_block.py) — measured −4% step time vs the
     # dense-s2d kernels (benchmarks/NOTES.md round-3)
-    from diffusionremotesensing_tpu.models.unet import default_tap44
+    from diffusionremotesensing_tpu.models.unet import resolve_tap44
 
     # DRS_PACKED_HEAD=1 enables the packed composed-head kernel for A/B
     # runs (ops/packed_head.py; measured E2E negative — NOTES.md round-3);
-    # DRS_TAP44=off|conv2|full|block|stem|l1 overrides the tap44 level for
+    # DRS_TAP44=<TAP44_LEVELS key> overrides the tap44 level for
     # same-window A/B measurements without editing code
-    tap44_env = os.environ.get("DRS_TAP44")
-    tap44 = (
-        {"off": False, "conv2": "conv2", "full": True, "block": "block",
-         "stem": "stem", "l1": "l1"}[tap44_env]
-        if tap44_env else default_tap44()
-    )
+    tap44 = resolve_tap44(os.environ.get("DRS_TAP44"))
     # DRS_FUSED_ATT=1 enables the fused stage-2 attention + packed head_at
     # kernel (ops/att_block.py); DRS_DEC_BLOCK=1 the fused decoder tail
     # (ops/dec_block.py) — both for same-window A/B measurements
@@ -191,7 +186,10 @@ def _wait_for_tpu():
     one-JSON-line contract."""
     import subprocess
 
-    deadline = time.monotonic() + float(os.environ.get("DRS_TPU_WAIT_S", "900"))
+    wait_s = float(os.environ.get("DRS_TPU_WAIT_S", "900"))
+    if wait_s <= 0:  # disabled: no probe at all, not even one 180s attempt
+        return
+    deadline = time.monotonic() + wait_s
     probe = (
         "import jax; jax.devices(); x = jax.numpy.ones((8, 128));"
         "jax.block_until_ready(x @ x.T)"

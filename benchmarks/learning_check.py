@@ -100,16 +100,29 @@ def _kernel_kwargs():
     enable the fused attention / decoder-tail kernels (ops/att_block.py,
     ops/dec_block.py). Used to quality-gate a kernel configuration through
     the real eval path before any adoption decision (benchmarks/NOTES.md)."""
-    from diffusionremotesensing_tpu.models.unet import default_tap44
+    from diffusionremotesensing_tpu.models.unet import resolve_tap44
 
-    t = os.environ.get("DRS_TAP44")
     return {
-        "tap44": ({"off": False, "conv2": "conv2", "full": True,
-                   "block": "block", "stem": "stem", "l1": "l1"}[t]
-                  if t else default_tap44()),
+        "tap44": resolve_tap44(os.environ.get("DRS_TAP44")),
         "fused_att": os.environ.get("DRS_FUSED_ATT") == "1",
         "dec_block": os.environ.get("DRS_DEC_BLOCK") == "1",
     }
+
+
+def _fused_update_env(ddim_steps) -> bool:
+    """DRS_FUSED_UPDATE=1 quality-gates the fused Pallas ancestral-update
+    kernel (ops/fused_update.py). The kernel exists only on the DDPM
+    ancestral branch — under --ddim_steps the flag would silently measure
+    the unmodified path and a gate could "pass" without ever executing the
+    kernel, so the combination is a hard error, not a no-op."""
+    on = os.environ.get("DRS_FUSED_UPDATE") == "1"
+    if on and ddim_steps:
+        raise RuntimeError(
+            "DRS_FUSED_UPDATE=1 has no effect under --ddim_steps (the fused "
+            "kernel is the DDPM ancestral update); drop one of the two so "
+            "the gate actually measures what it claims to."
+        )
+    return on
 
 
 def _sampler_label(ddim_steps, noise_steps, eta, spacing, clip_x0) -> str:
@@ -168,7 +181,8 @@ def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int 
         # DRS_FUSED_UPDATE=1: quality-gate the fused Pallas update kernel
         # (ops/fused_update.py) — different noise stream, so PSNR/SSIM
         # equivalence must be demonstrated here before any adoption
-        fused_update=os.environ.get("DRS_FUSED_UPDATE") == "1",
+        # (hard error under --ddim_steps, where it would be a silent no-op)
+        fused_update=_fused_update_env(ddim_steps),
     )
 
     rows = []
@@ -274,11 +288,12 @@ def evaluate_sar(root: str, snapshot: str, ddim_steps: int | None, noise_steps: 
     sar_hwc = sar.transpose(0, 2, 3, 1).astype(np.float32)   # [0,1], (B,H,W,2)
     gt_hwc = gt.transpose(0, 2, 3, 1).astype(np.float32)
 
+    fused_update = _fused_update_env(ddim_steps)
     sampler = (
         proc.ddim_sampler(ddim_steps, ddim_eta, tau_spacing=ddim_spacing,
                           clip_x0=ddim_clip_x0)
         if ddim_steps
-        else proc.sampler(fused_update=os.environ.get("DRS_FUSED_UPDATE") == "1")
+        else proc.sampler(fused_update=fused_update)
     )
     key = jax.random.PRNGKey(5)
     x_T = jax.random.normal(jax.random.fold_in(key, 0), (n, SAR_SIZE, SAR_SIZE, 1))

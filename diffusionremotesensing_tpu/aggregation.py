@@ -124,6 +124,14 @@ class AggregationSampler:
         fused_update: bool = False,
     ):
         assert stride <= patch_size
+        if fused_update and ddim_steps is not None:
+            # the fused kernel is the DDPM ancestral update; under DDIM the
+            # flag would silently select the unmodified path — reject the
+            # combination instead of measuring something else than asked
+            raise ValueError(
+                "fused_update applies only to DDPM ancestral sampling; "
+                "it has no effect under ddim_steps — drop one of the two"
+            )
         self.process = process
         self.patch_size = patch_size
         self.stride = stride

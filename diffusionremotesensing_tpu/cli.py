@@ -572,8 +572,8 @@ def launch_aggregation(args) -> None:
     from diffusionremotesensing_tpu.aggregation import AggregationSampler, squarify_sizes
     from diffusionremotesensing_tpu.io import load_snapshot
     from diffusionremotesensing_tpu.models.unet import (
-        default_tap44,
         residual_attention_unet_superres,
+        resolve_tap44,
     )
     from diffusionremotesensing_tpu.utils import save_image
 
@@ -585,10 +585,7 @@ def launch_aggregation(args) -> None:
         out_dim=args.inp_out_channels,
         magnification_factor=args.magnification_factor,
         s2d=s2d,
-        tap44=(default_tap44(device) if tap44_arg == "auto" else
-               {"off": False, "conv2": "conv2", "full": True, "block": "block",
-                "stem": "stem", "l1": "l1"}[tap44_arg])
-        if s2d else False,
+        tap44=resolve_tap44(tap44_arg, device) if s2d else False,
         fused_att=bool(getattr(args, "fused_att", False)) and s2d,
         dec_block=bool(getattr(args, "dec_block", False)) and s2d,
     )

@@ -862,6 +862,31 @@ class ResidualAttentionUNet(nn.Module):
         return out.astype(jnp.float32)
 
 
+# Canonical CLI/env spelling -> model-kwarg value for the tap44 kernel level.
+# Single source of truth for cli.py --tap44, Aggregation_Sampling.py choices,
+# bench.py DRS_TAP44 and learning_check's gate knob — a new level is added
+# HERE once and every surface picks it up.
+TAP44_LEVELS = {
+    "off": False,        # bit-reference dense-s2d execution
+    "conv2": "conv2",    # tap kernel on blk_conv2 only
+    "full": True,        # tap kernels on conv0/blk_conv1/blk_conv2
+    "block": "block",    # fused whole-ResConvBlock-0 kernel (TPU default)
+    "stem": "stem",      # conv0 + cond-add + block-0 in one program (opt-in)
+    "l1": "l1",          # + fused s2d encoder level 1 (opt-in, measured -4%)
+}
+
+
+def resolve_tap44(name=None, device=None) -> object:
+    """Map a ``--tap44``/``DRS_TAP44`` spelling to the model kwarg.
+
+    ``None``/"auto" defer to :func:`default_tap44` (fused-block kernel on
+    TPU, off elsewhere); any other value must be a :data:`TAP44_LEVELS` key.
+    """
+    if name is None or name == "auto":
+        return default_tap44(device)
+    return TAP44_LEVELS[name]
+
+
 def default_tap44(device=None) -> object:
     """Default tap44 level for inference surfaces: the fused-block Pallas
     kernel on TPU (measured −4% sampler step at the flagship shape,

@@ -318,9 +318,10 @@ class InferenceServer:
                         # as every other request-validation failure — not 500s
                         try:
                             # int() rejects lists/None/non-numeric strings;
-                            # np.int32 alone would ACCEPT a list (makes an array)
+                            # np.int32 alone would ACCEPT a list (makes an
+                            # array) and raises OverflowError past int32 range
                             cond = np.int32(int(req["label"]))
-                        except (TypeError, ValueError):
+                        except (TypeError, ValueError, OverflowError):
                             self._reply(400, {"error": "field 'label' must be an integer"})
                             return
                     else:

@@ -165,3 +165,18 @@ def test_aggregation_sharded_s2d_model():
                               batch_size=8)
     out0 = agg0(v, img, key=jax.random.PRNGKey(12))
     np.testing.assert_allclose(out, out0, atol=1e-4)
+
+
+def test_fused_update_with_ddim_is_rejected():
+    """fused_update only exists on the DDPM ancestral branch; combined with
+    ddim_steps it would silently sample the unmodified path — the
+    constructor must reject it (aggregation.py)."""
+    from diffusionremotesensing_tpu.diffusion import make_process
+    from diffusionremotesensing_tpu.models.unet import residual_attention_unet_superres
+
+    model = residual_attention_unet_superres(magnification_factor=2)
+    proc = make_process(model, "cosine", 6, 16)
+    with pytest.raises(ValueError, match="fused_update"):
+        AggregationSampler(proc, patch_size=8, stride=8,
+                           magnification_factor=2, ddim_steps=4,
+                           fused_update=True)

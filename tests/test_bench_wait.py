@@ -45,12 +45,28 @@ def test_wait_retries_through_failure_then_succeeds(monkeypatch):
     assert calls == ["fail", "hang", "ok"]
 
 
-def test_wait_gives_up_at_deadline_and_proceeds(monkeypatch):
+def test_wait_disabled_runs_no_probe(monkeypatch):
     import subprocess as sp
 
     run, calls = _fake_run(["fail"])
     monkeypatch.setattr(sp, "run", run)
     monkeypatch.setenv("DRS_TPU_WAIT_S", "0")
-    # deadline is already past after the first probe: must return, not loop
+    # 0 disables the wait entirely: not even one (up-to-180s) probe may run
+    bench._wait_for_tpu()
+    assert calls == []
+
+
+def test_wait_gives_up_at_deadline_and_proceeds(monkeypatch):
+    import subprocess as sp
+
+    run, calls = _fake_run(["fail", "fail"])
+    monkeypatch.setattr(sp, "run", run)
+    monkeypatch.setenv("DRS_TPU_WAIT_S", "10")
+    # clock jumps past the deadline right after the first probe: must
+    # return (proceed to the real run), not sleep and re-probe
+    t = iter([0.0, 100.0, 200.0, 300.0])
+    monkeypatch.setattr(bench.time, "monotonic", lambda: next(t))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: (_ for _ in ()).throw(
+        AssertionError("must not sleep past the deadline")))
     bench._wait_for_tpu()
     assert calls == ["fail"]

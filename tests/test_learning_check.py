@@ -140,3 +140,19 @@ def test_evaluate_sar_smoke(tmp_path, monkeypatch, capsys):
     assert set(summary) >= {"sar_psnr_db", "sar_ssim", "linear_baseline_psnr_db",
                             "beats_linear"}
     assert np.isfinite(summary["sar_psnr_db"])
+
+
+def test_fused_update_env_guard(monkeypatch):
+    """DRS_FUSED_UPDATE=1 + --ddim_steps would silently gate the WRONG
+    sampler (the kernel only exists on the DDPM branch): hard error."""
+    import pytest
+
+    from benchmarks.learning_check import _fused_update_env
+
+    monkeypatch.delenv("DRS_FUSED_UPDATE", raising=False)
+    assert _fused_update_env(None) is False
+    assert _fused_update_env(100) is False
+    monkeypatch.setenv("DRS_FUSED_UPDATE", "1")
+    assert _fused_update_env(None) is True
+    with pytest.raises(RuntimeError, match="ddim"):
+        _fused_update_env(100)

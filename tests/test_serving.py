@@ -213,7 +213,9 @@ def test_generate_malformed_label_is_400():
     port = httpd.server_address[1]
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     try:
-        for bad in ["cat", None, [1, 2]]:
+        # 10**19 coerces via int() but overflows np.int32 (OverflowError —
+        # a third exception type beyond TypeError/ValueError)
+        for bad in ["cat", None, [1, 2], 10**19]:
             req = urllib.request.Request(
                 f"http://127.0.0.1:{port}/generate",
                 data=json.dumps({"label": bad}).encode(),
