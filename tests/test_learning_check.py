@@ -156,3 +156,40 @@ def test_fused_update_env_guard(monkeypatch):
     assert _fused_update_env(None) is True
     with pytest.raises(RuntimeError, match="ddim"):
         _fused_update_env(100)
+
+
+def test_evaluate_superres_smoke_with_eval_patch(tmp_path, monkeypatch):
+    """Drive evaluate() end-to-end at tiny sizes, covering the default
+    64/32-style tiling AND the --eval_patch/--eval_stride whole-tile mode
+    (the tile runs as ONE patch; summary must record the tiling used)."""
+    import jax
+    import benchmarks.learning_check as lc
+    from PIL import Image
+    from diffusionremotesensing_tpu.io import save_snapshot
+    from diffusionremotesensing_tpu.models.unet import (
+        init_unet_params,
+        residual_attention_unet_superres,
+    )
+
+    monkeypatch.setattr(lc, "HR", 16)  # model/patch size: 16 -> LR patch 8
+    d = tmp_path / "eval_tiles"
+    d.mkdir()
+    rng = np.random.default_rng(7)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)).save(
+            str(d / f"tile_{i}.png"))
+
+    v = init_unet_params(residual_attention_unet_superres(magnification_factor=2),
+                         jax.random.PRNGKey(0), image_size=16)
+    snap = str(tmp_path / "snapshot.msgpack")
+    save_snapshot(snap, {"params": v["params"], "batch_stats": v.get("batch_stats", {})}, 0)
+
+    tiled = lc.evaluate(str(tmp_path), snap, ddim_steps=2, noise_steps=8)
+    assert (tiled["patch_size"], tiled["stride"]) == (8, 4)
+
+    whole = lc.evaluate(str(tmp_path), snap, ddim_steps=2, noise_steps=8,
+                        eval_patch=16, eval_stride=16)
+    assert (whole["patch_size"], whole["stride"]) == (16, 16)
+    for s in (tiled, whole):
+        assert np.isfinite(s["mean_sr_psnr_db"])
+        assert "beats_bicubic" in s or "mean_bicubic_psnr_db" in s
