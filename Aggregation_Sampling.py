@@ -59,7 +59,8 @@ if __name__ == "__main__":
                         nargs="?", const=True, default=False,
                         help="fused Pallas ancestral update with the on-chip "
                              "hardware PRNG (TPU-only; same noise distribution, "
-                             "different stream than the default threefry path)")
+                             "different stream than the default threefry path; "
+                             "DDPM only — rejected when combined with --ddim_steps)")
     parser.add_argument("--fused_att", type=lambda v: str(v).lower() in ("yes", "true", "t", "1"),
                         nargs="?", const=True, default=False,
                         help="fused Pallas stage-2 attention gate + packed "
