@@ -879,10 +879,10 @@ TAP44_LEVELS = {
 def resolve_tap44(name=None, device=None) -> object:
     """Map a ``--tap44``/``DRS_TAP44`` spelling to the model kwarg.
 
-    ``None``/"auto" defer to :func:`default_tap44` (fused-block kernel on
+    ``None``/""/"auto" defer to :func:`default_tap44` (fused-block kernel on
     TPU, off elsewhere); any other value must be a :data:`TAP44_LEVELS` key.
     """
-    if name is None or name == "auto":
+    if not name or name == "auto":
         return default_tap44(device)
     return TAP44_LEVELS[name]
 

@@ -50,3 +50,8 @@ def test_aggregation_cli_choices_match_canonical_mapping():
     assert m, "Aggregation_Sampling.py lost its --tap44 choices list"
     choices = [c.strip().strip("\"'") for c in m.group(1).split(",")]
     assert choices == ["auto", *TAP44_LEVELS], (choices, list(TAP44_LEVELS))
+
+
+def test_resolve_tap44_empty_string_defers_to_default():
+    # DRS_TAP44= (set but empty) must behave like unset, not KeyError
+    assert resolve_tap44("") == default_tap44()
