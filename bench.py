@@ -144,7 +144,9 @@ def bench_tpu():
     agg_ddim = AggregationSampler(
         proc, PATCH, STRIDE, MAG, batch_size=BATCH, ddim_steps=DDIM_STEPS
     )
-    tile_ddim_s = run_tile(agg_ddim, reps=3)
+    # the ~1 s DDIM tile is short enough that one tunnel pipeline stall moves
+    # a best-of-3 by ~25% (NOTES.md round-3); more reps are nearly free here
+    tile_ddim_s = run_tile(agg_ddim, reps=9)
 
     kind = jax.devices()[0].device_kind
     return tile_s, tile_ddim_s, kind
