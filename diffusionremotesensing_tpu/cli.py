@@ -39,6 +39,19 @@ def _configure_platform() -> None:
 
     if os.environ.get("DRS_FORCE_CPU"):
         jax.config.update("jax_platforms", "cpu")
+        if os.environ.get("DRS_CPU_COMPILE_CACHE"):
+            # Opt-in (the test suite sets it): persistent cache for CPU
+            # smoke runs — the CLI subprocess tests otherwise each pay a
+            # multi-minute cold fwd+bwd compile. Not default because warm
+            # XLA:CPU AOT loads log spurious feature-mismatch errors
+            # (+prefer-no-scatter/+prefer-no-gather are pseudo-features
+            # host detection never reports — see bench.py); measured
+            # harmless, but too alarming to show every CPU CLI user.
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get("DRS_CPU_COMPILE_CACHE_DIR", "/tmp/jax_cache"),
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
         return
     from diffusionremotesensing_tpu.utils import machine_scoped_cache_dir
 

@@ -16,6 +16,9 @@ def _env():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["DRS_FORCE_CPU"] = "1"
+    # share the suite's persistent compile cache (tests/conftest.py) so the
+    # CLI subprocesses don't each pay a multi-minute cold fwd+bwd compile
+    env["DRS_CPU_COMPILE_CACHE"] = "1"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     return env
 
