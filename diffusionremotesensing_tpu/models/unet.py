@@ -490,6 +490,23 @@ class ResidualAttentionUNet(nn.Module):
         # XLA path); interpret mode automatically off-TPU so the exact same
         # code path is test-covered on CPU.
         use_tap = bool(self.tap44) and not train
+        if use_tap and self.tap44 != "stem":
+            # shape guard: the (B, 2)-grid tap kernels hold whole (H2, W2)
+            # blocks in VMEM — past the scoped-vmem budget (e.g. whole-tile
+            # aggregation, one 256px-LR patch = a (1, 256, 256, 4C) s2d
+            # program) fall back to the dense-s2d XLA path, which is
+            # numerically identical (tests/test_s2d_model.py). 'stem' is
+            # exempt: its grid is already row-partitioned ~16 ways
+            # (stem_halves) and its cond contract (5-D slabs from
+            # encode_cond_stem) has no dense equivalent at this point.
+            from diffusionremotesensing_tpu.ops.tap_block import tap_block_fits_vmem
+
+            use_tap = tap_block_fits_vmem(
+                xs.shape[1], xs.shape[2],
+                kern["conv0"].shape[-1], kern["tap_block"]["w2"].shape[1]
+                if "tap_block" in kern else kern["conv0"].shape[-1],
+                jnp.dtype(dt).itemsize,
+            )
         if use_tap:
             interp = jax.default_backend() != "tpu"
         blk = self.conv_blocks[0]
@@ -598,6 +615,15 @@ class ResidualAttentionUNet(nn.Module):
         tile = lambda a: jnp.tile(a, 4).astype(dt)  # noqa: E731
 
         use_l1 = self.tap44 == "l1" and not train
+        if use_l1:
+            # same scoped-vmem shape guard as level 0 (level-1 shape/channels)
+            from diffusionremotesensing_tpu.ops.tap_block import tap_block_fits_vmem
+
+            use_l1 = tap_block_fits_vmem(
+                res0_s.shape[1] // 2, res0_s.shape[2] // 2,
+                kern["down0_s2d"].shape[-1], kern["tap_block1"]["w2"].shape[1],
+                jnp.dtype(dt).itemsize,
+            )
         res1 = res1_s = None
         if use_l1:
             # ---- fused level-1 (tap44='l1'): down0 re-blocked to emit the

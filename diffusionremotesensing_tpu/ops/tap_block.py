@@ -185,6 +185,24 @@ def build_block_weights(
     }
 
 
+def tap_block_fits_vmem(H2: int, W2: int, cx4: int, co4: int,
+                        itemsize: int = 2) -> bool:
+    """Whether :func:`tap_block`'s (B, 2) grid fits the ~16 MB scoped-VMEM
+    stack at this s2d shape. Per-program stack ~= the full-x block + the
+    half-H output block + ~3x a (ROWS+6, W2, cx4) f32 slab of im2col
+    intermediates. Calibrated on-chip: the flagship (48, 64, 64) shape uses
+    ~4 MB; HR-256 whole-tile (128, 128) fits; HR-512 whole-tile (256, 256)
+    OOMs at 56 MB ("Ran out of memory in memory space vmem ... limit
+    16.00M"). Callers fall back to the dense-s2d XLA path (numerically
+    identical) when this returns False — e.g. aggregation whole-tile mode,
+    where one 256px LR patch becomes a (1, 256, 256, 4C) s2d program."""
+    rows = H2 // 2
+    x_b = H2 * W2 * cx4 * itemsize
+    out_b = rows * W2 * co4 * itemsize
+    slab_b = 3 * (rows + 6) * W2 * cx4 * 4
+    return x_b + out_b + slab_b <= 14 * 2**20
+
+
 def stem_halves(H2: int) -> int:
     """Row-partition count for :func:`tap_stem_block`'s (B, NH) grid: ~16
     output rows per program keeps peak VMEM around 9 MB at the flagship

@@ -78,3 +78,33 @@ def test_pallas_tap_conv_bf16_close():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32), atol=0.05, rtol=0.05
     )
+
+
+def test_tap_block_vmem_guard_whole_tile_shape():
+    """Whole-tile aggregation (one 256px-LR patch -> a (1,256,256,4C) s2d
+    program) OOMed the (B,2)-grid tap_block's scoped VMEM on-chip; the shape
+    guard must route such shapes to the dense-s2d path, numerically
+    identically (the 512HR forward here), while the flagship and HR-256
+    whole-tile shapes keep the kernel."""
+    from diffusionremotesensing_tpu.ops.tap_block import tap_block_fits_vmem
+
+    assert tap_block_fits_vmem(64, 64, 64, 128)      # flagship 48x(64,64)
+    assert tap_block_fits_vmem(128, 128, 64, 128)    # HR-256 whole tile (ran on-chip)
+    assert not tap_block_fits_vmem(256, 256, 64, 128)  # HR-512 whole tile (OOMed at 56MB)
+
+    import numpy as np
+
+    from diffusionremotesensing_tpu.models.unet import (
+        init_unet_params,
+        residual_attention_unet_superres,
+    )
+
+    mb = residual_attention_unet_superres(magnification_factor=2, s2d=True, tap44="block")
+    m0 = residual_attention_unet_superres(magnification_factor=2, s2d=True, tap44=False)
+    v = init_unet_params(mb, jax.random.PRNGKey(0), image_size=64)
+    x = jnp.asarray(np.random.default_rng(0).random((1, 512, 512, 3), np.float32))
+    lr = jnp.asarray(np.random.default_rng(1).random((1, 256, 256, 3), np.float32))
+    t = jnp.array([7])
+    ob = mb.apply(v, x, t, lr, train=False)
+    o0 = m0.apply(v, x, t, lr, train=False)
+    np.testing.assert_array_equal(np.asarray(ob), np.asarray(o0))
