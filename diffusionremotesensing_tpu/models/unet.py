@@ -505,7 +505,7 @@ class ResidualAttentionUNet(nn.Module):
                 xs.shape[1], xs.shape[2],
                 kern["conv0"].shape[-1], kern["tap_block"]["w2"].shape[1]
                 if "tap_block" in kern else kern["conv0"].shape[-1],
-                jnp.dtype(dt).itemsize,
+                jnp.dtype(dt).itemsize, batch=xs.shape[0],
             )
         if use_tap:
             interp = jax.default_backend() != "tpu"
@@ -622,7 +622,7 @@ class ResidualAttentionUNet(nn.Module):
             use_l1 = tap_block_fits_vmem(
                 res0_s.shape[1] // 2, res0_s.shape[2] // 2,
                 kern["down0_s2d"].shape[-1], kern["tap_block1"]["w2"].shape[1],
-                jnp.dtype(dt).itemsize,
+                jnp.dtype(dt).itemsize, batch=res0_s.shape[0],
             )
         res1 = res1_s = None
         if use_l1:

@@ -186,21 +186,31 @@ def build_block_weights(
 
 
 def tap_block_fits_vmem(H2: int, W2: int, cx4: int, co4: int,
-                        itemsize: int = 2) -> bool:
-    """Whether :func:`tap_block`'s (B, 2) grid fits the ~16 MB scoped-VMEM
-    stack at this s2d shape. Per-program stack ~= the full-x block + the
-    half-H output block + ~3x a (ROWS+6, W2, cx4) f32 slab of im2col
-    intermediates. Calibrated on-chip: the flagship (48, 64, 64) shape uses
-    ~4 MB; HR-256 whole-tile (128, 128) fits; HR-512 whole-tile (256, 256)
-    OOMs at 56 MB ("Ran out of memory in memory space vmem ... limit
-    16.00M"). Callers fall back to the dense-s2d XLA path (numerically
-    identical) when this returns False — e.g. aggregation whole-tile mode,
-    where one 256px LR patch becomes a (1, 256, 256, 4C) s2d program."""
-    rows = H2 // 2
-    x_b = H2 * W2 * cx4 * itemsize
-    out_b = rows * W2 * co4 * itemsize
-    slab_b = 3 * (rows + 6) * W2 * cx4 * 4
-    return x_b + out_b + slab_b <= 14 * 2**20
+                        itemsize: int = 2, batch: int = 1) -> bool:
+    """Whether :func:`tap_block`'s (B, 2) grid fits the 16 MB scoped-VMEM
+    stack at this s2d shape. Empirical model pinned by four on-chip
+    measurements (all at cx4=64/co4=128 bf16):
+
+    * (48, 64, 64)   flagship bench shape: runs, ~4-6 MB
+    * (1, 128, 128)  HR-256 whole-tile: runs (near the limit)
+    * (9, 128, 128)  Mosaic reports 22.30 MB -> OOM ("Scoped allocation
+      with size 22.30M and limit 16.00M")
+    * (1, 256, 256)  HR-512 whole-tile: 56.29 MB -> OOM
+
+    i.e. ~14.1 MB x (H2*W2)/128^2 (x block + double-buffered half-H out
+    block + f32 im2col scratch), times ~1.6 when B > 1 because the x block's
+    index then varies along grid dim 0 and Mosaic double-buffers it (the
+    B=1 grid reuses one buffer across both half-programs). Channel widths
+    and itemsize scale the estimate linearly (the l1 level's wider blocks).
+    Callers fall back to the dense-s2d XLA path (numerically identical,
+    tests/test_s2d_model.py) when this returns False — e.g. aggregation
+    whole-tile mode, where one 256px LR patch is a (1, 256, 256, 4C)
+    program."""
+    est = 14.1 * 2**20 * (H2 * W2) / 16384
+    est *= (cx4 + co4) / 192 * itemsize / 2
+    if batch > 1:
+        est *= 1.6
+    return est <= 15 * 2**20
 
 
 def stem_halves(H2: int) -> int:

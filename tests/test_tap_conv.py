@@ -88,9 +88,11 @@ def test_tap_block_vmem_guard_whole_tile_shape():
     whole-tile shapes keep the kernel."""
     from diffusionremotesensing_tpu.ops.tap_block import tap_block_fits_vmem
 
-    assert tap_block_fits_vmem(64, 64, 64, 128)      # flagship 48x(64,64)
-    assert tap_block_fits_vmem(128, 128, 64, 128)    # HR-256 whole tile (ran on-chip)
-    assert not tap_block_fits_vmem(256, 256, 64, 128)  # HR-512 whole tile (OOMed at 56MB)
+    assert tap_block_fits_vmem(64, 64, 64, 128, batch=48)   # flagship bench shape
+    assert tap_block_fits_vmem(128, 128, 64, 128, batch=1)  # HR-256 whole tile (ran on-chip)
+    assert not tap_block_fits_vmem(128, 128, 64, 128, batch=9)  # OOMed at 22.3MB (B>1 double-buffers x)
+    assert not tap_block_fits_vmem(256, 256, 64, 128, batch=1)  # HR-512 whole tile (OOMed at 56MB)
+    assert tap_block_fits_vmem(32, 32, 512, 512, batch=48)  # flagship l1 level (measured on-chip)
 
     import numpy as np
 
