@@ -26,6 +26,7 @@ image per sample() call, train_diffusion_superres.py:224).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Optional
 
 import jax
@@ -41,6 +42,15 @@ __all__ = [
     "make_sampler",
     "DiffusionProcess",
 ]
+
+
+def _scan_unroll() -> int:
+    """Unroll factor for the sampling scans (DRS_SCAN_UNROLL, default 1) —
+    an execution-only A/B knob: ``lax.scan(unroll=k)`` emits k step bodies
+    per loop iteration, giving XLA a window to schedule/fuse across
+    consecutive timesteps; the math (and therefore the output) is unchanged.
+    Read at trace time, like the other DRS_* measurement knobs."""
+    return max(1, int(os.environ.get("DRS_SCAN_UNROLL", "1")))
 
 
 def _normal_packed(key: jax.Array, shape, dtype) -> jnp.ndarray:
@@ -210,7 +220,7 @@ def make_sampler(
             return (x, k), frame
 
         x0 = enc(x_T) if enc is not None else x_T
-        (x, _), frames = jax.lax.scan(step, (x0, key), ts)
+        (x, _), frames = jax.lax.scan(step, (x0, key), ts, unroll=_scan_unroll())
         if dec is not None:
             x = dec(x)
         return (x, frames) if capture_frames else x
@@ -321,7 +331,9 @@ def make_ddim_sampler(
             return (x, k), None
 
         x0 = enc(x_T) if enc is not None else x_T
-        (x, _), _ = jax.lax.scan(step, (x0, key), (taus, taus_prev))
+        (x, _), _ = jax.lax.scan(
+            step, (x0, key), (taus, taus_prev), unroll=_scan_unroll()
+        )
         return dec(x) if dec is not None else x
 
     return sample
