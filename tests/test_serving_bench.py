@@ -1,0 +1,32 @@
+"""Smoke coverage for the serving benchmark entrypoint
+(benchmarks/serving_bench.py): the full flow — server construction, warmup,
+sequential HTTP latency, concurrent micro-batched throughput — at a tiny
+DDIM step count, in-process on the CPU backend (conftest forces it).
+
+Exists because an unexercised benchmark entrypoint once shipped broken
+(round-2 ADVICE: learning_check's evaluate gates crashed with a NameError
+at HEAD); every benchmarks/ entrypoint now gets at least a smoke test.
+"""
+
+from benchmarks.serving_bench import _percentile, bench
+
+
+def test_percentile_endpoints():
+    xs = [5.0, 1.0, 3.0]
+    assert _percentile(xs, 0) == 1.0
+    assert _percentile(xs, 50) == 3.0
+    assert _percentile(xs, 100) == 5.0
+
+
+def test_serving_bench_smoke():
+    out = bench(max_batch=2, quick=True, ddim_steps=2)
+    assert out["max_batch"] == 2
+    for k in (
+        "ddim2_latency_p50_s",
+        "ddim2_latency_p95_s",
+        "ddim2_concurrent_req_per_s",
+        "ddim2_concurrent_p95_s",
+    ):
+        assert k in out and out[k] > 0
+    # p50 <= p95 by construction
+    assert out["ddim2_latency_p50_s"] <= out["ddim2_latency_p95_s"]
