@@ -136,6 +136,14 @@ def bench_tpu():
     # DRS_FUSED_UPDATE=1: fused Pallas ancestral-update + on-chip PRNG
     # (ops/fused_update.py) for same-window A/B runs
     fused = os.environ.get("DRS_FUSED_UPDATE") == "1"
+    if fused and jax.default_backend() != "tpu":
+        # the fused kernel's hardware PRNG has no interpret-mode lowering
+        # (unet.fused_update_device_ok) — fail the A/B run with the reason
+        # rather than a Mosaic compile error mid-measurement
+        raise RuntimeError(
+            "DRS_FUSED_UPDATE=1 needs a real TPU (the in-kernel PRNG has no "
+            "interpret-mode lowering); unset it or drop DRS_FORCE_CPU."
+        )
     agg = AggregationSampler(
         proc, PATCH, STRIDE, MAG, batch_size=BATCH, fused_update=fused
     )

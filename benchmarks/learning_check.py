@@ -122,6 +122,18 @@ def _fused_update_env(ddim_steps) -> bool:
             "kernel is the DDPM ancestral update); drop one of the two so "
             "the gate actually measures what it claims to."
         )
+    if on:
+        # the kernel's hardware PRNG has no interpret-mode lowering
+        # (unet.fused_update_device_ok) — on a forced-CPU run the gate
+        # could not execute what it claims to measure, so hard-error like
+        # the DDIM combination above instead of crashing in Mosaic.
+        import jax
+
+        if jax.default_backend() != "tpu":
+            raise RuntimeError(
+                "DRS_FUSED_UPDATE=1 needs a real TPU (the in-kernel PRNG has "
+                "no interpret-mode lowering); unset it or drop DRS_FORCE_CPU."
+            )
     return on
 
 

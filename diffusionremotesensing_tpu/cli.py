@@ -585,6 +585,8 @@ def launch_aggregation(args) -> None:
     from diffusionremotesensing_tpu.aggregation import AggregationSampler, squarify_sizes
     from diffusionremotesensing_tpu.io import load_snapshot
     from diffusionremotesensing_tpu.models.unet import (
+        fused_update_device_ok,
+        pallas_device_ok,
         residual_attention_unet_superres,
         resolve_tap44,
     )
@@ -593,6 +595,20 @@ def launch_aggregation(args) -> None:
     device = _select_device(args.device)
     s2d = getattr(args, "s2d", True)
     tap44_arg = getattr(args, "tap44", "auto")
+    # the boolean kernel flags need the same device-awareness resolve_tap44
+    # has: on a TPU-default host with --device cpu the model would compile
+    # the Mosaic programs for the CPU device (pallas_device_ok). Drop to the
+    # numerically-identical XLA path with a note rather than crash.
+    kernels_ok = pallas_device_ok(device)
+    for flag in ("fused_att", "dec_block", "fused_update"):
+        want = bool(getattr(args, flag, False))
+        ok = kernels_ok if flag != "fused_update" else fused_update_device_ok(device)
+        if want and not ok:
+            print(
+                f"--{flag} requires a TPU-compatible device (computation is "
+                f"committed to {device.platform}); using the equivalent XLA path."
+            )
+            setattr(args, flag, False)
     model = residual_attention_unet_superres(
         image_channels=args.inp_out_channels,
         out_dim=args.inp_out_channels,

@@ -490,15 +490,26 @@ class ResidualAttentionUNet(nn.Module):
         # XLA path); interpret mode automatically off-TPU so the exact same
         # code path is test-covered on CPU.
         use_tap = bool(self.tap44) and not train
-        if use_tap and self.tap44 != "stem":
+        tap_level = self.tap44
+        if use_tap and tap_level == "stem":
+            # stem shape guard: the row-partitioned stem kernel's slab
+            # intermediates scale with W2 (stem_fits_vmem); past the budget
+            # demote to 'block' — the same ResConvBlock-0 fusion minus the
+            # conv0 absorb, numerically identical (tests/test_tap_stem.py) —
+            # and let the block guard below decide the rest. The hoisted
+            # 5-D cond slabs are inverted back to flat features below.
+            from diffusionremotesensing_tpu.ops.tap_block import stem_fits_vmem
+
+            if not stem_fits_vmem(xs.shape[1], xs.shape[2],
+                                  jnp.dtype(dt).itemsize):
+                tap_level = "block"
+        if use_tap and tap_level != "stem":
             # shape guard: the (B, 2)-grid tap kernels hold whole (H2, W2)
             # blocks in VMEM — past the scoped-vmem budget (e.g. whole-tile
             # aggregation, one 256px-LR patch = a (1, 256, 256, 4C) s2d
             # program) fall back to the dense-s2d XLA path, which is
-            # numerically identical (tests/test_s2d_model.py). 'stem' is
-            # exempt: its grid is already row-partitioned ~16 ways
-            # (stem_halves) and its cond contract (5-D slabs from
-            # encode_cond_stem) has no dense equivalent at this point.
+            # numerically identical (tests/test_s2d_model.py). 'stem' has
+            # its own guard above (row-partitioned grid, different scaling).
             from diffusionremotesensing_tpu.ops.tap_block import tap_block_fits_vmem
 
             use_tap = tap_block_fits_vmem(
@@ -510,7 +521,7 @@ class ResidualAttentionUNet(nn.Module):
         if use_tap:
             interp = jax.default_backend() != "tpu"
         blk = self.conv_blocks[0]
-        if use_tap and self.tap44 == "stem":
+        if use_tap and tap_level == "stem":
             # fused stem: conv0 + bias + cond-add + the whole ResConvBlock-0
             # in one kernel — h_s never exists in HBM. The loop-invariant
             # bias/cond slabs arrive pre-assembled from encode_cond_stem
@@ -542,11 +553,23 @@ class ResidualAttentionUNet(nn.Module):
             return self._forward_s2d_tail(res0_s, t_emb, train, kern, s2d_io, dt, updates)
 
         h_s = _named_conv("s2d.conv0", xs, kern["conv0"], SAME, dt)
-        h_s = h_s + tile(self._p(self.conv0, "conv", "bias"))
-        if cond_features is not None:
-            h_s = h_s + cond_features.astype(dt)  # already s2d (see encode_cond_s2d)
+        if cond_features is not None and cond_features.ndim == 5:
+            # demoted-stem path: the caller hoisted encode_cond_stem's
+            # (B, NH, ROWS+4, W2, C14) slabs, which carry conv0-bias + cond
+            # COMBINED. Recover the flat base exactly — the interior rows of
+            # each slab invert build_cond_slabs — instead of re-adding
+            # bias/cond separately.
+            nh = cond_features.shape[1]
+            rows = xs.shape[1] // nh
+            h_s = h_s + jnp.concatenate(
+                [cond_features[:, i, 2 : 2 + rows] for i in range(nh)], axis=1
+            ).astype(dt)
+        else:
+            h_s = h_s + tile(self._p(self.conv0, "conv", "bias"))
+            if cond_features is not None:
+                h_s = h_s + cond_features.astype(dt)  # already s2d (see encode_cond_s2d)
         x_skip_s = h_s
-        if use_tap and self.tap44 in ("block", "l1"):
+        if use_tap and tap_level in ("block", "l1"):
             # whole ResConvBlock-0 in one fused kernel; skip to down0
             from diffusionremotesensing_tpu.ops.tap_block import tap_block
 
@@ -558,7 +581,7 @@ class ResidualAttentionUNet(nn.Module):
             return self._forward_s2d_tail(res0_s, t_emb, train, kern, s2d_io, dt, updates)
         if use_tap:
             from diffusionremotesensing_tpu.ops.tap_conv import tap_conv, tap_conv_pair
-        if use_tap and self.tap44 is True:
+        if use_tap and tap_level is True:
             with jax.named_scope("s2d.tap_conv1_skip"):
                 h, h_sk = tap_conv_pair(
                     h_s, kern["blk_conv1_44"], kern["blk_skip_44"], interpret=interp
@@ -691,6 +714,16 @@ class ResidualAttentionUNet(nn.Module):
             and hup.shape[1] % 8 == 0
         )
         if use_dec:
+            # shape guard: the per-sample program holds whole (H, W) blocks
+            # in VMEM — whole-tile shapes fall back to the XLA chain
+            # (numerically identical, tests/test_dec_block.py)
+            from diffusionremotesensing_tpu.ops.dec_block import dec_block_fits_vmem
+
+            use_dec = dec_block_fits_vmem(
+                hup.shape[1], hup.shape[2], hup.shape[3], attn.shape[3],
+                kern["dec"]["ba"].shape[0], jnp.dtype(dt).itemsize,
+            )
+        if use_dec:
             from diffusionremotesensing_tpu.ops.dec_block import dec_block as _dec
 
             te2 = self._time_bias(self.ups[2], t_emb.astype(dt), dt)
@@ -713,6 +746,16 @@ class ResidualAttentionUNet(nn.Module):
             and "att_fused" in kern
             and res0_s.shape[1] % 8 == 0
         )
+        if use_fa:
+            # shape guard: the per-sample program holds whole (Hg, Wg) blocks
+            # in VMEM — whole-tile shapes fall back to the XLA chain
+            # (numerically identical, tests/test_att_block.py)
+            from diffusionremotesensing_tpu.ops.att_block import att_block_fits_vmem
+
+            use_fa = att_block_fits_vmem(
+                res0_s.shape[1], res0_s.shape[2], res0_s.shape[3],
+                h.shape[3], jnp.dtype(dt).itemsize,
+            )
         if use_fa:
             from diffusionremotesensing_tpu.ops.att_block import (
                 att_head_block,
@@ -910,7 +953,17 @@ def resolve_tap44(name=None, device=None) -> object:
     """
     if not name or name == "auto":
         return default_tap44(device)
-    return TAP44_LEVELS[name]
+    try:
+        return TAP44_LEVELS[name]
+    except KeyError:
+        # argparse `choices` protects the CLIs, but the documented env A/B
+        # surface (DRS_TAP44 on bench.py / learning_check) reaches here raw —
+        # a typo should fail with the valid spellings, not a bare KeyError
+        # after the snapshot load and TPU wait already ran.
+        raise ValueError(
+            f"unknown tap44 level {name!r} (--tap44 / DRS_TAP44); valid: "
+            f"{', '.join(TAP44_LEVELS)}, or 'auto'"
+        ) from None
 
 
 def default_tap44(device=None) -> object:
@@ -925,6 +978,36 @@ def default_tap44(device=None) -> object:
     try:
         platform = device.platform if device is not None else jax.default_backend()
         return "block" if platform == "tpu" else False
+    except Exception:  # pragma: no cover - backend probing never raises in practice
+        return False
+
+
+def pallas_device_ok(device=None) -> bool:
+    """Whether the opt-in Mosaic kernel flags (fused_att / dec_block /
+    packed_head) can execute for a computation committed to ``device``.
+
+    The model picks interpret mode from ``jax.default_backend()``
+    (_forward_s2d), so the one broken combination is a non-TPU committed
+    device on a TPU-default host (e.g. ``--device cpu`` under the
+    sitecustomize-pinned remote TPU): interpret stays False while the
+    program compiles for the CPU device, which Mosaic cannot do. Mirrors
+    :func:`default_tap44`'s device-awareness for the boolean kernel flags."""
+    try:
+        platform = device.platform if device is not None else jax.default_backend()
+        return platform == "tpu" or jax.default_backend() != "tpu"
+    except Exception:  # pragma: no cover - backend probing never raises in practice
+        return False
+
+
+def fused_update_device_ok(device=None) -> bool:
+    """Whether the fused ancestral-update kernel (ops/fused_update.py) can
+    run for a computation committed to ``device``: real TPU only — its
+    hardware PRNG (pltpu.prng_seed) has no interpret-mode lowering, so
+    unlike the other kernels there is no off-TPU execution path for the
+    sampler's in-kernel noise draw."""
+    try:
+        platform = device.platform if device is not None else jax.default_backend()
+        return platform == "tpu"
     except Exception:  # pragma: no cover - backend probing never raises in practice
         return False
 

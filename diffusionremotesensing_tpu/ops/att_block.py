@@ -54,6 +54,22 @@ except Exception:  # pragma: no cover
     PALLAS_AVAILABLE = False
 
 
+def att_block_fits_vmem(Hg: int, Wg: int, C4: int, Ch: int,
+                        itemsize: int = 2) -> bool:
+    """Whether :func:`att_head_block`'s per-sample program fits the ~16 MB
+    scoped-VMEM stack. Conservative tally of the resident (1, Hg, Wg, *)
+    buffers: the x/h input blocks, the gated/at/xp compute-dtype
+    intermediates (~4 C4-planes), and the f32 dot outputs (the rc
+    contraction at C4 lanes dominates; the g/a pair adds ~C4/2). Known-good
+    on-chip at the flagship (64, 64, C4=64) shape (~4 MB by this tally);
+    whole-tile gate shapes (128^2 and up) blow the budget and Mosaic fails
+    with "Scoped allocation ... limit 16.00M" instead of spilling, so
+    callers fall back to the numerically-identical XLA chain
+    (tests/test_att_block.py) when this returns False."""
+    est = Hg * Wg * ((4 * C4 + Ch) * itemsize + 6 * C4)
+    return est <= 15 * 2**20
+
+
 def build_att_weights(
     wgate, bgate, bn_gate,     # (Ch,C) 1x1 gating conv, (C,), BN dict (C,)
     wg, bg,                    # (C,C) w_g, (C,)

@@ -62,6 +62,21 @@ def _pair3(w3):
     )
 
 
+def dec_block_fits_vmem(H: int, W: int, Ca: int, Cb: int, Cm: int,
+                        itemsize: int = 2) -> bool:
+    """Whether :func:`dec_block`'s per-sample program fits the ~16 MB
+    scoped-VMEM stack. Conservative tally of the resident (1, H, W, *)
+    buffers: each conv input plus its three column-shift variants (~4
+    planes apiece for xa/xb and the h/hp/hh/xp chain at Cm), and the two
+    f32 accumulators. Known-good on-chip at the flagship
+    (64, 64, Ca=128, Cb=64, Cm=64) shape (~11 MB by this tally);
+    whole-tile gate shapes exceed the budget and crash Mosaic instead of
+    spilling, so callers fall back to the numerically-identical XLA chain
+    (tests/test_dec_block.py) when this returns False."""
+    est = H * W * ((4 * Ca + 4 * Cb + 5 * Cm) * itemsize + 8 * Cm)
+    return est <= 15 * 2**20
+
+
 def build_dec_weights(w_uc1, b_uc1, ca, w_up2, b_up2, bn_up2, k4, eps=1e-5):
     """Assemble the kernel weights (f32; the caller's kernel-dict cast
     applies the compute dtype).

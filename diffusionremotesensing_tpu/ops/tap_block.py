@@ -213,6 +213,23 @@ def tap_block_fits_vmem(H2: int, W2: int, cx4: int, co4: int,
     return est <= 15 * 2**20
 
 
+def stem_fits_vmem(H2: int, W2: int, itemsize: int = 2) -> bool:
+    """Whether :func:`tap_stem_block` fits the ~16 MB scoped-VMEM stack at
+    this s2d shape. Unlike :func:`tap_block_fits_vmem` the stem grid is
+    row-partitioned (~16 output rows per program via :func:`stem_halves`),
+    so the slab intermediates — the module docstring's ~9 MB peak at the
+    flagship (64, 64) shape — scale linearly with W2 only, plus the whole
+    (H2, W2, Cx4) input block that stays resident per program (double-
+    buffered across grid steps). Callers demote tap44='stem' to 'block'
+    (same ResConvBlock-0 fusion, dense XLA conv0 — numerically identical,
+    tests/test_tap_stem.py) when this returns False: e.g. whole-tile
+    aggregation/gate shapes, where W2 >= 128 already puts the slabs past
+    the budget."""
+    est = 9 * 2**20 * (W2 / 64) * (itemsize / 2)
+    est += 2 * H2 * W2 * 16 * itemsize
+    return est <= 15 * 2**20
+
+
 def stem_halves(H2: int) -> int:
     """Row-partition count for :func:`tap_stem_block`'s (B, NH) grid: ~16
     output rows per program keeps peak VMEM around 9 MB at the flagship

@@ -116,6 +116,7 @@ class InferenceServer:
         max_batch: int = 8,
         max_wait_ms: float = 10.0,
         ddim_steps: Optional[int] = None,
+        ddim_clip_x0: bool = True,
         seed: int = 0,
     ):
         import jax
@@ -129,11 +130,13 @@ class InferenceServer:
         self.max_batch = max_batch
         self.process = make_process(model, noise_schedule, noise_steps, image_size)
         if ddim_steps is not None:
-            # clip_x0=True: the measured-best few-step config (+2.1 dB at
-            # DDIM-100 on the learning-gate model, benchmarks/NOTES.md)
+            # clip_x0 default True: the measured-best few-step config
+            # (+2.1 dB at DDIM-100 on the learning-gate model,
+            # benchmarks/NOTES.md); ddim_clip_x0=False selects the
+            # unclamped trajectory like every other DDIM surface
             self._sampler = self.process.ddim_sampler(
                 ddim_steps, cfg_scale=3.0 if task == "generation" else None,
-                clip_x0=True,
+                clip_x0=ddim_clip_x0,
             )
         elif task == "generation":
             self._sampler = self.process.sampler(cfg_scale=3.0)

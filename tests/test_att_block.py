@@ -169,3 +169,14 @@ def test_kernel_under_batch_sharded_mesh():
     ws = jax.device_put(w, replicated_sharding(mesh))
     got = np.asarray(att_head_block(xs, hs, ws, interpret=True))
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_att_block_fits_vmem_shapes():
+    """VMEM guard (unet._forward_s2d's use_fa): flagship shapes fit, the
+    whole-tile gate shapes that crash Mosaic do not."""
+    from diffusionremotesensing_tpu.ops.att_block import att_block_fits_vmem
+
+    assert att_block_fits_vmem(64, 64, 128, 64)       # flagship bench shape
+    assert att_block_fits_vmem(8, 8, 128, 64)         # CPU test shapes
+    assert not att_block_fits_vmem(128, 128, 128, 64)  # HR-256 whole tile
+    assert not att_block_fits_vmem(256, 256, 128, 64)  # HR-512 whole tile

@@ -202,3 +202,14 @@ def test_model_full_stack_generation_cfg():
     ref = np.asarray(m0.apply(v, x, t, lab, cond_mask=mask, train=False))
     got = np.asarray(m1.apply(v, x, t, lab, cond_mask=mask, train=False))
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_dec_block_fits_vmem_shapes():
+    """VMEM guard (unet._forward_s2d's use_dec): flagship shapes fit, the
+    whole-tile gate shapes that crash Mosaic do not."""
+    from diffusionremotesensing_tpu.ops.dec_block import dec_block_fits_vmem
+
+    assert dec_block_fits_vmem(64, 64, 128, 64, 64)       # flagship bench shape
+    assert dec_block_fits_vmem(8, 8, 128, 64, 64)         # CPU test shapes
+    assert not dec_block_fits_vmem(128, 128, 128, 64, 64)  # HR-256 whole tile
+    assert not dec_block_fits_vmem(256, 256, 128, 64, 64)  # HR-512 whole tile

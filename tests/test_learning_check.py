@@ -149,13 +149,20 @@ def test_fused_update_env_guard(monkeypatch):
 
     from benchmarks.learning_check import _fused_update_env
 
+    import jax
+
     monkeypatch.delenv("DRS_FUSED_UPDATE", raising=False)
     assert _fused_update_env(None) is False
     assert _fused_update_env(100) is False
     monkeypatch.setenv("DRS_FUSED_UPDATE", "1")
-    assert _fused_update_env(None) is True
     with pytest.raises(RuntimeError, match="ddim"):
         _fused_update_env(100)
+    # the kernel's hardware PRNG has no interpret-mode lowering: a forced-CPU
+    # gate run cannot execute what it claims to measure — hard error too
+    with pytest.raises(RuntimeError, match="TPU"):
+        _fused_update_env(None)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert _fused_update_env(None) is True
 
 
 def test_evaluate_superres_smoke_with_eval_patch(tmp_path, monkeypatch):

@@ -74,6 +74,16 @@ def test_generation_server_with_labels():
     outs = srv.infer_batch([np.int32(0), np.int32(2)])
     assert outs[0].shape == (16, 16, 3)
     srv.batcher.shutdown()
+    # clip_x0 opt-out (CLAUDE.md: measured-best sub-option defaults keep an
+    # explicit opt-out): the unclamped trajectory must be selectable
+    srv2 = InferenceServer(
+        model, variables, noise_schedule="cosine", noise_steps=5,
+        image_size=16, task="generation", max_batch=4, ddim_steps=3,
+        ddim_clip_x0=False,
+    )
+    outs2 = srv2.infer_batch([np.int32(0), np.int32(2)])
+    assert outs2[0].shape == (16, 16, 3)
+    srv2.batcher.shutdown()
 
 
 def test_http_surface():

@@ -32,12 +32,42 @@ def test_resolve_tap44_auto_defers_to_default():
 
 
 def test_resolve_tap44_rejects_unknown():
+    # the env surface (DRS_TAP44) has no argparse choices — a typo must fail
+    # with the valid spellings, not a bare KeyError
     try:
         resolve_tap44("bogus")
-    except KeyError:
-        pass
+    except ValueError as e:
+        assert "bogus" in str(e) and "block" in str(e) and "auto" in str(e)
     else:
         raise AssertionError("unknown tap44 level must not resolve silently")
+
+
+def test_kernel_flag_device_awareness(monkeypatch):
+    """pallas_device_ok / fused_update_device_ok (cli.py's guards for the
+    boolean kernel flags): the broken combination is a non-TPU committed
+    device under a TPU default backend — interpret mode keys off the
+    backend, so Mosaic would compile for the CPU device."""
+    import jax
+
+    from diffusionremotesensing_tpu.models import unet
+
+    class Dev:
+        def __init__(self, platform):
+            self.platform = platform
+
+    # CPU-default host (the test environment): interpret mode covers CPU
+    assert unet.pallas_device_ok(Dev("cpu"))
+    assert unet.pallas_device_ok(None)
+    # but the fused ancestral update has no interpret path at all
+    assert not unet.fused_update_device_ok(Dev("cpu"))
+    assert unet.fused_update_device_ok(Dev("tpu"))
+
+    # TPU-default host (the sitecustomize-pinned tunnel)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert unet.pallas_device_ok(Dev("tpu"))
+    assert unet.pallas_device_ok(None)
+    assert not unet.pallas_device_ok(Dev("cpu"))   # --device cpu on TPU host
+    assert not unet.fused_update_device_ok(Dev("cpu"))
 
 
 def test_aggregation_cli_choices_match_canonical_mapping():

@@ -120,6 +120,65 @@ def test_stem_model_generation_matches_s2d():
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
+def test_stem_fits_vmem_shapes():
+    from diffusionremotesensing_tpu.ops.tap_block import stem_fits_vmem
+
+    assert stem_fits_vmem(64, 64)          # flagship (measured ~9 MB peak)
+    assert stem_fits_vmem(4, 4)            # tiny test shapes
+    assert not stem_fits_vmem(128, 128)    # HR-256 whole tile: slabs ~18 MB
+    assert not stem_fits_vmem(256, 256)    # HR-512 whole tile
+    assert not stem_fits_vmem(8, 128)      # W2 alone drives the slab cost
+
+
+def test_cond_slab_inversion_matches_flat_cond():
+    """The demoted-stem path (unet._forward_s2d) recovers the flat
+    bias+cond base from encode_cond_stem's 5-D slabs by slicing each slab's
+    interior rows — pin that inversion against build_cond_slabs exactly."""
+    b0_4 = jnp.tile(_rand(70, (16,), 0.1), 4)
+    cond_s = _rand(71, (2, 8, 8, 64), 0.5)
+    slabs = build_cond_slabs(b0_4, 2, 8, 8, cond_s2d=cond_s, nh=4)
+    rows = 8 // slabs.shape[1]
+    got = jnp.concatenate(
+        [slabs[:, i, 2 : 2 + rows] for i in range(slabs.shape[1])], axis=1
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(b0_4 + cond_s), atol=0
+    )
+
+
+def test_stem_demotes_past_vmem_budget():
+    """tap44='stem' at a shape whose slabs exceed the VMEM budget must
+    demote to the block kernel and still consume the hoisted 5-D slabs
+    exactly (the inversion branch) — a wide-but-short tile keeps W2 = 128
+    past the stem guard while everything else stays CPU-test sized."""
+    from diffusionremotesensing_tpu.models.unet import (
+        init_unet_params,
+        residual_attention_unet_superres,
+    )
+    from diffusionremotesensing_tpu.ops.tap_block import stem_fits_vmem
+
+    assert not stem_fits_vmem(8, 128)
+
+    m0 = residual_attention_unet_superres(magnification_factor=2, s2d=True)
+    m1 = residual_attention_unet_superres(
+        magnification_factor=2, s2d=True, tap44="stem"
+    )
+    v = init_unet_params(m0, jax.random.PRNGKey(80), image_size=32)
+
+    rng = np.random.default_rng(80)
+    x = rng.standard_normal((1, 16, 256, 3)).astype(np.float32)
+    t = np.array([3], np.int32)
+    cond = rng.random((1, 8, 128, 3)).astype(np.float32)
+    ref = np.asarray(m0.apply(v, x, t, cond, train=False))
+    feats = m1.apply(v, cond, method="encode_cond_stem")
+    assert feats.ndim == 5
+    kern = m1.apply(v, method="prepare_s2d_kernels")
+    got = np.asarray(
+        m1.apply(v, x, t, cond_features=feats, s2d_kernels=kern, train=False)
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
 def test_stem_sampler_matches_s2d():
     """Full reverse chain with tap44='stem' through make_process — exercises
     the encode_cond_stem hoist (5-D slab cond_features) end to end."""
