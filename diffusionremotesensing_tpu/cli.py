@@ -127,6 +127,30 @@ def _model_dtype(args):
 
 
 
+def _gate_kernel_flags(args, device) -> None:
+    """Device-awareness for the boolean Mosaic kernel flags, mirroring
+    resolve_tap44's: on a TPU-default host with --device cpu the model would
+    compile the Pallas programs for the CPU device (unet.pallas_device_ok) —
+    drop to the numerically-identical XLA path with a note rather than
+    crash. fused_update additionally needs a REAL TPU (its hardware PRNG has
+    no interpret-mode lowering)."""
+    from diffusionremotesensing_tpu.models.unet import (
+        fused_update_device_ok,
+        pallas_device_ok,
+    )
+
+    kernels_ok = pallas_device_ok(device)
+    for flag in ("fused_att", "dec_block", "fused_update"):
+        want = bool(getattr(args, flag, False))
+        ok = kernels_ok if flag != "fused_update" else fused_update_device_ok(device)
+        if want and not ok:
+            print(
+                f"--{flag} requires a TPU-compatible device (computation is "
+                f"committed to {device.platform}); using the equivalent XLA path."
+            )
+            setattr(args, flag, False)
+
+
 def _process_shard():
     """Per-process dataset sharding (DistributedSampler parity, reference
     train_diffusion_superres.py:631-635): when training spans multiple JAX
@@ -585,8 +609,6 @@ def launch_aggregation(args) -> None:
     from diffusionremotesensing_tpu.aggregation import AggregationSampler, squarify_sizes
     from diffusionremotesensing_tpu.io import load_snapshot
     from diffusionremotesensing_tpu.models.unet import (
-        fused_update_device_ok,
-        pallas_device_ok,
         residual_attention_unet_superres,
         resolve_tap44,
     )
@@ -595,20 +617,7 @@ def launch_aggregation(args) -> None:
     device = _select_device(args.device)
     s2d = getattr(args, "s2d", True)
     tap44_arg = getattr(args, "tap44", "auto")
-    # the boolean kernel flags need the same device-awareness resolve_tap44
-    # has: on a TPU-default host with --device cpu the model would compile
-    # the Mosaic programs for the CPU device (pallas_device_ok). Drop to the
-    # numerically-identical XLA path with a note rather than crash.
-    kernels_ok = pallas_device_ok(device)
-    for flag in ("fused_att", "dec_block", "fused_update"):
-        want = bool(getattr(args, flag, False))
-        ok = kernels_ok if flag != "fused_update" else fused_update_device_ok(device)
-        if want and not ok:
-            print(
-                f"--{flag} requires a TPU-compatible device (computation is "
-                f"committed to {device.platform}); using the equivalent XLA path."
-            )
-            setattr(args, flag, False)
+    _gate_kernel_flags(args, device)
     model = residual_attention_unet_superres(
         image_channels=args.inp_out_channels,
         out_dim=args.inp_out_channels,
@@ -657,3 +666,112 @@ def launch_aggregation(args) -> None:
     )
     out = sampler(variables, arr)
     save_image(out, args.destination_path)
+
+
+# ------------------------------------------------------------------ serving
+
+
+def build_server(args):
+    """Construct a serving.InferenceServer from serve.py's flag namespace.
+
+    No reference counterpart — the reference has no serving story (its
+    inference is ad-hoc scripts) — so the flag surface is this repo's own,
+    reusing its conventions: the models_run registry + model_name size
+    parsing (superres_and_NDVIgen.py:20-29) and the aggregation CLI's
+    kernel/DDIM knobs. Split from launch_serving so tests can drive the
+    HTTP surface on an ephemeral port."""
+    _configure_platform()
+    import jax
+
+    from diffusionremotesensing_tpu.io import load_snapshot
+    from diffusionremotesensing_tpu.models.unet import (
+        residual_attention_unet_generation,
+        residual_attention_unet_sar_to_ndvi,
+        residual_attention_unet_superres,
+        resolve_tap44,
+    )
+    from diffusionremotesensing_tpu.serving import InferenceServer
+    from superres_and_NDVIgen import (  # repo-root module (imports from cwd=/root/repo)
+        parse_imgsize,
+        parse_lr_imgsize,
+        parse_magnification,
+    )
+
+    device = _select_device(args.device)
+    _gate_kernel_flags(args, device)
+    s2d = getattr(args, "s2d", True)
+    kw = dict(
+        dtype=_model_dtype(args),
+        s2d=s2d,
+        tap44=resolve_tap44(getattr(args, "tap44", "auto"), device) if s2d else False,
+        fused_att=bool(getattr(args, "fused_att", False)) and s2d,
+        dec_block=bool(getattr(args, "dec_block", False)) and s2d,
+    )
+    name = args.model_name or ""
+
+    def _parse(fn, what, flag):
+        try:
+            return fn(name)
+        except (IndexError, ValueError):
+            raise SystemExit(
+                f"cannot derive {what} from model_name {name!r}; pass {flag} "
+                f"or use the registry naming convention "
+                f"(superres_and_NDVIgen.parse_* substrings)"
+            )
+
+    if args.task == "superres":
+        mag = args.magnification_factor or _parse(
+            parse_magnification, "the magnification", "--magnification_factor"
+        )
+        image_size = args.model_input_size or mag * _parse(
+            parse_lr_imgsize, "the LR input size", "--model_input_size"
+        )
+        model = residual_attention_unet_superres(
+            image_channels=args.inp_out_channels,
+            out_dim=args.inp_out_channels,
+            magnification_factor=mag,
+            **kw,
+        )
+    elif args.task == "sar_to_ndvi":
+        image_size = args.model_input_size or _parse(
+            parse_imgsize, "the image size", "--model_input_size"
+        )
+        model = residual_attention_unet_sar_to_ndvi(**kw)
+    else:  # generation
+        image_size = args.model_input_size or _parse(
+            parse_imgsize, "the image size", "--model_input_size"
+        )
+        model = residual_attention_unet_generation(
+            image_channels=args.inp_out_channels,
+            out_dim=args.inp_out_channels,
+            num_classes=args.num_classes,
+            **kw,
+        )
+
+    snapshot_path = getattr(args, "snapshot_path", None) or os.path.join(
+        "models_run", name, "weights", args.snapshot_name
+    )
+    state, _ = load_snapshot(snapshot_path)
+    variables = jax.device_put(
+        {"params": state["params"], "batch_stats": state.get("batch_stats", {})},
+        device,
+    )
+    task = {"superres": "superres", "sar_to_ndvi": "sar", "generation": "generation"}
+    return InferenceServer(
+        model,
+        variables,
+        noise_schedule=args.noise_schedule,
+        noise_steps=args.noise_steps,
+        image_size=image_size,
+        task=task[args.task],
+        max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
+        ddim_steps=getattr(args, "ddim_steps", None),
+        ddim_clip_x0=getattr(args, "ddim_clip_x0", True),
+    )
+
+
+def launch_serving(args) -> None:
+    """serve.py launch: build the server and block on the HTTP loop."""
+    server = build_server(args)
+    server.serve(host=args.host, port=args.port)
