@@ -74,6 +74,8 @@ def bench_tpu():
     from diffusionremotesensing_tpu.aggregation import AggregationSampler
     from diffusionremotesensing_tpu.diffusion import make_process
     from diffusionremotesensing_tpu.models.unet import (
+        FUSED_UPDATE_NEEDS_TPU,
+        fused_update_device_ok,
         init_unet_params,
         residual_attention_unet_superres,
     )
@@ -136,14 +138,10 @@ def bench_tpu():
     # DRS_FUSED_UPDATE=1: fused Pallas ancestral-update + on-chip PRNG
     # (ops/fused_update.py) for same-window A/B runs
     fused = os.environ.get("DRS_FUSED_UPDATE") == "1"
-    if fused and jax.default_backend() != "tpu":
-        # the fused kernel's hardware PRNG has no interpret-mode lowering
-        # (unet.fused_update_device_ok) — fail the A/B run with the reason
-        # rather than a Mosaic compile error mid-measurement
-        raise RuntimeError(
-            "DRS_FUSED_UPDATE=1 needs a real TPU (the in-kernel PRNG has no "
-            "interpret-mode lowering); unset it or drop DRS_FORCE_CPU."
-        )
+    if fused and not fused_update_device_ok():
+        # fail the A/B run with the reason rather than a Mosaic compile
+        # error mid-measurement
+        raise RuntimeError(FUSED_UPDATE_NEEDS_TPU)
     agg = AggregationSampler(
         proc, PATCH, STRIDE, MAG, batch_size=BATCH, fused_update=fused
     )

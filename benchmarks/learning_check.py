@@ -123,17 +123,17 @@ def _fused_update_env(ddim_steps) -> bool:
             "the gate actually measures what it claims to."
         )
     if on:
-        # the kernel's hardware PRNG has no interpret-mode lowering
-        # (unet.fused_update_device_ok) — on a forced-CPU run the gate
-        # could not execute what it claims to measure, so hard-error like
-        # the DDIM combination above instead of crashing in Mosaic.
-        import jax
+        # the kernel's hardware PRNG has no interpret-mode lowering — on a
+        # forced-CPU run the gate could not execute what it claims to
+        # measure, so hard-error like the DDIM combination above instead of
+        # crashing in Mosaic.
+        from diffusionremotesensing_tpu.models.unet import (
+            FUSED_UPDATE_NEEDS_TPU,
+            fused_update_device_ok,
+        )
 
-        if jax.default_backend() != "tpu":
-            raise RuntimeError(
-                "DRS_FUSED_UPDATE=1 needs a real TPU (the in-kernel PRNG has "
-                "no interpret-mode lowering); unset it or drop DRS_FORCE_CPU."
-            )
+        if not fused_update_device_ok():
+            raise RuntimeError(FUSED_UPDATE_NEEDS_TPU)
     return on
 
 

@@ -757,6 +757,11 @@ def build_server(args):
         device,
     )
     task = {"superres": "superres", "sar_to_ndvi": "sar", "generation": "generation"}
+    seed = getattr(args, "seed", None)
+    if seed is None:
+        # fresh entropy per process: restarted servers and load-balanced
+        # replicas must not replay one deterministic noise sequence
+        seed = int.from_bytes(os.urandom(4), "little")
     return InferenceServer(
         model,
         variables,
@@ -768,6 +773,7 @@ def build_server(args):
         max_wait_ms=args.max_wait_ms,
         ddim_steps=getattr(args, "ddim_steps", None),
         ddim_clip_x0=getattr(args, "ddim_clip_x0", True),
+        seed=seed,
     )
 
 

@@ -561,8 +561,11 @@ class ResidualAttentionUNet(nn.Module):
             # bias/cond separately.
             nh = cond_features.shape[1]
             rows = xs.shape[1] // nh
-            h_s = h_s + jnp.concatenate(
-                [cond_features[:, i, 2 : 2 + rows] for i in range(nh)], axis=1
+            # slabs are contiguous row windows [i*rows, i*rows+rows) plus a
+            # 2-row halo, so stacking the interiors is one reshape
+            interior = cond_features[:, :, 2 : 2 + rows]
+            h_s = h_s + interior.reshape(
+                interior.shape[0], nh * rows, *interior.shape[3:]
             ).astype(dt)
         else:
             h_s = h_s + tile(self._p(self.conv0, "conv", "bias"))
@@ -950,11 +953,15 @@ def resolve_tap44(name=None, device=None) -> object:
 
     ``None``/""/"auto" defer to :func:`default_tap44` (fused-block kernel on
     TPU, off elsewhere); any other value must be a :data:`TAP44_LEVELS` key.
+    An explicit level is demoted to off (with a note) when the computation's
+    committed ``device`` cannot execute Mosaic kernels
+    (:func:`pallas_device_ok` — e.g. ``--tap44 block --device cpu`` on a
+    TPU-default host, where interpret mode would not engage).
     """
     if not name or name == "auto":
         return default_tap44(device)
     try:
-        return TAP44_LEVELS[name]
+        level = TAP44_LEVELS[name]
     except KeyError:
         # argparse `choices` protects the CLIs, but the documented env A/B
         # surface (DRS_TAP44 on bench.py / learning_check) reaches here raw —
@@ -964,6 +971,13 @@ def resolve_tap44(name=None, device=None) -> object:
             f"unknown tap44 level {name!r} (--tap44 / DRS_TAP44); valid: "
             f"{', '.join(TAP44_LEVELS)}, or 'auto'"
         ) from None
+    if level and device is not None and not pallas_device_ok(device):
+        print(
+            f"--tap44 {name} requires a TPU-compatible device (computation "
+            f"is committed to {device.platform}); using the dense-s2d path."
+        )
+        return False
+    return level
 
 
 def default_tap44(device=None) -> object:
@@ -997,6 +1011,15 @@ def pallas_device_ok(device=None) -> bool:
         return platform == "tpu" or jax.default_backend() != "tpu"
     except Exception:  # pragma: no cover - backend probing never raises in practice
         return False
+
+
+# Shared by every surface that gates the fused ancestral-update kernel
+# (cli._gate_kernel_flags demotes with a note; bench.py / learning_check's
+# DRS_FUSED_UPDATE A/B knob hard-errors) so the rule lives in one place.
+FUSED_UPDATE_NEEDS_TPU = (
+    "DRS_FUSED_UPDATE=1 needs a real TPU (the in-kernel PRNG has no "
+    "interpret-mode lowering); unset it or drop DRS_FORCE_CPU."
+)
 
 
 def fused_update_device_ok(device=None) -> bool:

@@ -61,7 +61,8 @@ def att_block_fits_vmem(Hg: int, Wg: int, C4: int, Ch: int,
     buffers: the x/h input blocks, the gated/at/xp compute-dtype
     intermediates (~4 C4-planes), and the f32 dot outputs (the rc
     contraction at C4 lanes dominates; the g/a pair adds ~C4/2). Known-good
-    on-chip at the flagship (64, 64, C4=64) shape (~4 MB by this tally);
+    on-chip at the flagship res0_s shape (64, 64, C4=128, Ch=64) — 4*32
+    s2d lanes — at ~7.9 MB by this tally (tests/test_att_block.py pins it);
     whole-tile gate shapes (128^2 and up) blow the budget and Mosaic fails
     with "Scoped allocation ... limit 16.00M" instead of spilling, so
     callers fall back to the numerically-identical XLA chain

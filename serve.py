@@ -67,6 +67,11 @@ if __name__ == "__main__":
     parser.add_argument("--s2d", type=str2bool, nargs="?", const=True, default=True,
                         help="space-to-depth inference execution (exact math, "
                              "faster on TPU); --s2d false disables")
+    parser.add_argument("--seed", type=int, default=None,
+                        help="sampler PRNG seed; default draws fresh entropy "
+                             "per process so restarted servers / load-balanced "
+                             "replicas don't replay one noise sequence (pass "
+                             "an int for reproducible serving)")
     parser.add_argument("--tap44", type=str, default="auto",
                         choices=["auto", "off", "conv2", "full", "block", "stem", "l1"])
     parser.add_argument("--fused_att", type=str2bool, nargs="?", const=True, default=False)

@@ -32,7 +32,7 @@ def _args(**over):
         model_input_size=None, magnification_factor=None, inp_out_channels=3,
         num_classes=10, device="cpu", max_batch=2, max_wait_ms=5.0,
         ddim_steps=None, ddim_clip_x0=True, compute_dtype="float32",
-        s2d=True, tap44="auto", fused_att=False, dec_block=False,
+        s2d=True, tap44="auto", fused_att=False, dec_block=False, seed=None,
     )
     base.update(over)
     return argparse.Namespace(**base)
@@ -77,6 +77,24 @@ def test_build_server_parses_model_name_and_serves(tmp_path, monkeypatch):
     finally:
         httpd.shutdown()
         srv.batcher.shutdown()
+
+
+def test_build_server_seed_defaults_to_fresh_entropy(tmp_path, monkeypatch):
+    """seed=None (the serve.py default) must draw fresh entropy per process —
+    restarted servers / load-balanced replicas must not replay one noise
+    sequence — while an explicit --seed stays reproducible."""
+    _make_registry_snapshot(str(tmp_path))
+    monkeypatch.chdir(tmp_path)
+    srv_a, srv_b = build_server(_args()), build_server(_args())
+    srv_fixed = build_server(_args(seed=7))
+    try:
+        assert not np.array_equal(np.asarray(srv_a._key), np.asarray(srv_b._key))
+        assert np.array_equal(
+            np.asarray(srv_fixed._key), np.asarray(jax.random.PRNGKey(7))
+        )
+    finally:
+        for s in (srv_a, srv_b, srv_fixed):
+            s.batcher.shutdown()
 
 
 def test_build_server_explicit_overrides_and_missing_parse(tmp_path, monkeypatch):

@@ -70,6 +70,29 @@ def test_kernel_flag_device_awareness(monkeypatch):
     assert not unet.fused_update_device_ok(Dev("cpu"))
 
 
+def test_resolve_tap44_explicit_level_demoted_off_tpu(monkeypatch, capsys):
+    """An EXPLICIT --tap44 level must obey the same device gating as 'auto':
+    on a TPU-default host with a CPU-committed computation (--device cpu),
+    Mosaic can't compile and interpret mode won't engage, so the level is
+    demoted to the dense-s2d path with a note instead of crashing."""
+    import jax
+
+    from diffusionremotesensing_tpu.models import unet
+
+    class Dev:
+        def __init__(self, platform):
+            self.platform = platform
+
+    # CPU-default host (this test env): interpret mode covers a CPU device
+    assert resolve_tap44("block", Dev("cpu")) == "block"
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert resolve_tap44("block", Dev("tpu")) == "block"
+    assert resolve_tap44("block", Dev("cpu")) is False   # demoted, not crash
+    assert "dense-s2d" in capsys.readouterr().out
+    assert resolve_tap44("off", Dev("cpu")) is False     # off stays off, no note
+
+
 def test_aggregation_cli_choices_match_canonical_mapping():
     """--tap44's argparse choices (Aggregation_Sampling.py, inside __main__
     so not importable) must be exactly ["auto", *TAP44_LEVELS]; a new level
