@@ -762,6 +762,13 @@ def build_server(args):
         # fresh entropy per process: restarted servers and load-balanced
         # replicas must not replay one deterministic noise sequence
         seed = int.from_bytes(os.urandom(4), "little")
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        from diffusionremotesensing_tpu.parallel.sharding import make_mesh
+
+        # mesh over every device of the committed platform (a --device cpu
+        # debug run must not mesh the TPU chips it just opted out of)
+        mesh = make_mesh(jax.devices(device.platform))
     return InferenceServer(
         model,
         variables,
@@ -774,6 +781,7 @@ def build_server(args):
         ddim_steps=getattr(args, "ddim_steps", None),
         ddim_clip_x0=getattr(args, "ddim_clip_x0", True),
         seed=seed,
+        mesh=mesh,
     )
 
 

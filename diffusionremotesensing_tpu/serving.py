@@ -8,6 +8,9 @@ provides one designed around TPU execution characteristics:
   denoised in ONE lax.scan — latency amortizes exactly like aggregation
   sampling's patch axis;
 * the model/sampler compile once at startup (warmup request);
+* one server can span a whole device mesh (``mesh=``): params replicate,
+  each micro-batch (and the tile endpoint's patch axis) shards data-parallel
+  across the chips — collective-free, so throughput scales with mesh size;
 * transport is stdlib HTTP (zero extra dependencies): POST /superres,
   /sar_to_ndvi, /generate with a JSON body, base64-encoded PNG in/out,
   GET /healthz for liveness.
@@ -118,6 +121,7 @@ class InferenceServer:
         ddim_steps: Optional[int] = None,
         ddim_clip_x0: bool = True,
         seed: int = 0,
+        mesh=None,
     ):
         import jax
 
@@ -126,6 +130,24 @@ class InferenceServer:
         self.task = task
         self.image_size = image_size
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            # one server spans the whole mesh: params replicated, each
+            # micro-batch sharded along its batch axis so the fixed-shape
+            # sampler partitions data-parallel across the chips (collective-
+            # free — the scan body has no cross-sample term)
+            from diffusionremotesensing_tpu.parallel.sharding import (
+                replicated_sharding,
+            )
+
+            n = int(mesh.devices.size)
+            if max_batch % n:
+                raise ValueError(
+                    f"max_batch ({max_batch}) must be divisible by the mesh "
+                    f"size ({n}) so every device gets an equal micro-batch "
+                    f"shard"
+                )
+            variables = jax.device_put(variables, replicated_sharding(mesh))
         self.variables = variables
         self.max_batch = max_batch
         self.process = make_process(model, noise_schedule, noise_steps, image_size)
@@ -195,6 +217,12 @@ class InferenceServer:
         x_T = jax.random.normal(
             key, (self.max_batch, self.image_size, self.image_size, self.model.image_channels)
         )
+        if self.mesh is not None:
+            from diffusionremotesensing_tpu.parallel.sharding import batch_sharding
+
+            bs = batch_sharding(self.mesh)
+            cond = jax.device_put(cond, bs)
+            x_T = jax.device_put(x_T, bs)
         out = np.asarray(self._sampler(self.variables, jax.random.fold_in(key, 1), x_T, cond))
         out = np.clip(out, 0.0, 1.0)
         return [out[i] for i in range(n)]
@@ -242,6 +270,7 @@ class InferenceServer:
                     stride=p // 2,
                     magnification_factor=self.model.magnification_factor or 1,
                     ddim_steps=self._ddim_steps,
+                    mesh=self.mesh,   # shard the patch axis across the mesh
                 )
             return np.asarray(self._agg(self.variables, img, key=self._next_key()))
 

@@ -67,6 +67,11 @@ if __name__ == "__main__":
     parser.add_argument("--s2d", type=str2bool, nargs="?", const=True, default=True,
                         help="space-to-depth inference execution (exact math, "
                              "faster on TPU); --s2d false disables")
+    parser.add_argument("--data_parallel", type=str2bool, nargs="?", const=True,
+                        default=False,
+                        help="span all local devices with one server: params "
+                             "replicate, micro-batches shard across the mesh "
+                             "(max_batch must divide evenly)")
     parser.add_argument("--seed", type=int, default=None,
                         help="sampler PRNG seed; default draws fresh entropy "
                              "per process so restarted servers / load-balanced "

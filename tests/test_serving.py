@@ -127,6 +127,55 @@ def test_http_surface():
         srv.batcher.shutdown()
 
 
+def test_mesh_sharded_server_matches_unsharded():
+    """mesh= spans the 8-virtual-device CPU mesh: params replicate, each
+    micro-batch shards along its batch axis. Same seed -> identical x_T and
+    noise stream, and the scan body has no cross-sample term, so the sharded
+    server must reproduce the single-device outputs (fp tolerance only —
+    partitioning reassociates reductions)."""
+    from diffusionremotesensing_tpu.parallel.sharding import make_mesh
+
+    model = residual_attention_unet_superres(magnification_factor=2)
+    variables = init_unet_params(model, jax.random.PRNGKey(0), image_size=16)
+    kw = dict(noise_schedule="linear", noise_steps=6, image_size=16,
+              task="superres", max_batch=8, max_wait_ms=20, seed=3)
+    srv_1 = InferenceServer(model, variables, **kw)
+    srv_m = InferenceServer(model, variables, mesh=make_mesh(), **kw)
+    lr = [np.random.default_rng(i).random((8, 8, 3)).astype(np.float32)
+          for i in range(3)]
+    # drive _run_batch directly: deterministic batch composition (the
+    # threaded MicroBatcher may split the 3 requests differently per server)
+    a = srv_1._run_batch(lr)
+    b = srv_m._run_batch(lr)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, atol=2e-5)
+    srv_1.batcher.shutdown()
+    srv_m.batcher.shutdown()
+
+
+def test_mesh_sharded_generation_and_divisibility():
+    from diffusionremotesensing_tpu.parallel.sharding import make_mesh
+
+    mesh = make_mesh()
+    model = residual_attention_unet_generation(num_classes=3)
+    variables = init_unet_params(model, jax.random.PRNGKey(0), image_size=16)
+    kw = dict(noise_schedule="cosine", noise_steps=5, image_size=16,
+              task="generation", ddim_steps=3, seed=1)
+    srv_1 = InferenceServer(model, variables, max_batch=8, **kw)
+    srv_m = InferenceServer(model, variables, max_batch=8, mesh=mesh, **kw)
+    a = srv_1._run_batch([np.int32(0), np.int32(2)])
+    b = srv_m._run_batch([np.int32(0), np.int32(2)])
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, atol=2e-5)
+    srv_1.batcher.shutdown()
+    srv_m.batcher.shutdown()
+    # max_batch must split evenly over the mesh
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        InferenceServer(model, variables, max_batch=3, mesh=mesh, **kw)
+
+
 def test_validation_rejects_bad_inputs():
     srv = _superres_server()
     # wrong spatial size
