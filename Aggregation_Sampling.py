@@ -73,6 +73,14 @@ if __name__ == "__main__":
     parser.add_argument("--multiple_gpus", type=lambda v: str(v).lower() in ("yes", "true", "t", "1"),
                         nargs="?", const=True, default=False,
                         help="shard the patch batch across all local chips")
+    parser.add_argument("--quant", type=str, default="none",
+                        choices=["none", "int8"],
+                        help="W8A8 static-calibration int8 execution "
+                             "(ops/quant.py): calibrates activation scales on "
+                             "this tile's own patches, then runs the hot convs "
+                             "on the int8 MXU path. NOT fp-equivalent — "
+                             "quality-gated in benchmarks/NOTES.md; default "
+                             "off = the exact reference-parity path")
     args = parser.parse_args()
     args.snapshot_folder_path = os.path.join(os.curdir, "models_run", args.model_name, "weights")
     launch_aggregation(args)

@@ -126,6 +126,16 @@ def bench_tpu():
         jax.random.uniform(jax.random.PRNGKey(3), (TILE, TILE, 3)), np.float32
     )
 
+    # DRS_QUANT=1: W8A8 static-calibration int8 execution (ops/quant.py) for
+    # same-window A/B runs — calibrates on this tile's corner patches
+    if os.environ.get("DRS_QUANT") == "1":
+        from diffusionremotesensing_tpu.ops.quant import quantize_superres_tile
+
+        variables = quantize_superres_tile(
+            model, variables, proc.schedule.alpha_hat, img, PATCH, MAG,
+            jax.random.PRNGKey(21),
+        )
+
     def run_tile(sampler: AggregationSampler, reps: int) -> float:
         sampler(variables, img, key=jax.random.PRNGKey(7))  # warmup + compile
         best = float("inf")

@@ -199,11 +199,23 @@ def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int 
 
     rows = []
     tiles = sorted(os.listdir(os.path.join(root, "eval_tiles")))
+    quant = os.environ.get("DRS_QUANT") == "1"
     for i, name in enumerate(tiles):
         hr_u8 = np.asarray(Image.open(os.path.join(root, "eval_tiles", name)))
         hr = hr_u8.astype(np.float32) / 255.0
         lr = _degrade_lr(hr_u8, mag)
-        sr = np.asarray(agg(variables, lr, key=jax.random.PRNGKey(100 + i)))
+        tile_vars = variables
+        if quant:
+            # DRS_QUANT=1 quality-gates the W8A8 int8 execution path
+            # (ops/quant.py) exactly as it ships: per-tile calibration on
+            # the tile's own patches, like Aggregation_Sampling --quant int8
+            from diffusionremotesensing_tpu.ops.quant import quantize_superres_tile
+
+            tile_vars = quantize_superres_tile(
+                model, variables, proc.schedule.alpha_hat, lr, patch, mag,
+                jax.random.PRNGKey(200 + i),
+            )
+        sr = np.asarray(agg(tile_vars, lr, key=jax.random.PRNGKey(100 + i)))
         bic = np.clip(np.asarray(upsample_bicubic(jnp.asarray(lr)[None], mag))[0], 0, 1)
         rows.append(
             {
@@ -221,6 +233,7 @@ def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int 
         "stride": stride,
         "sampler": _sampler_label(ddim_steps, noise_steps, ddim_eta,
                                   ddim_spacing, ddim_clip_x0),
+        "quant": "int8" if quant else "none",
         "tiles": rows,
         "mean_sr_psnr_db": float(np.mean([r["sr_psnr_db"] for r in rows])),
         "mean_bicubic_psnr_db": float(np.mean([r["bicubic_psnr_db"] for r in rows])),

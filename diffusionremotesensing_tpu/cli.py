@@ -650,6 +650,15 @@ def launch_aggregation(args) -> None:
     from diffusionremotesensing_tpu.diffusion import make_process
 
     proc = make_process(model, args.noise_schedule, args.noise_steps, hr_patch)
+    if getattr(args, "quant", "none") == "int8":
+        from diffusionremotesensing_tpu.ops.quant import quantize_superres_tile
+
+        variables = quantize_superres_tile(
+            model, variables, proc.schedule.alpha_hat, arr,
+            args.patch_size, args.magnification_factor, jax.random.PRNGKey(21),
+        )
+        n = len(jax.tree_util.tree_leaves(variables["quant"]))
+        print(f"int8 quantized execution: {n} conv sites calibrated on this tile")
     mesh = _make_mesh_if(getattr(args, "multiple_gpus", False))
     sampler = AggregationSampler(
         proc,
@@ -756,6 +765,8 @@ def build_server(args):
         {"params": state["params"], "batch_stats": state.get("batch_stats", {})},
         device,
     )
+    if getattr(args, "quant", "none") == "int8":
+        variables = _quantize_serving_variables(args, model, variables, image_size)
     task = {"superres": "superres", "sar_to_ndvi": "sar", "generation": "generation"}
     seed = getattr(args, "seed", None)
     if seed is None:
@@ -783,6 +794,56 @@ def build_server(args):
         seed=seed,
         mesh=mesh,
     )
+
+
+def _quantize_serving_variables(args, model, variables, image_size: int):
+    """--quant int8 for serve.py: calibrate W8A8 activation scales before
+    traffic (ops/quant.py). Best with --quant_calib_image (a representative
+    input); falls back to a smooth synthetic proxy (blocky low-frequency
+    field — the probe only sets activation ranges, not content)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffusionremotesensing_tpu.ops.quant import quantize_for_sampling
+    from diffusionremotesensing_tpu.schedules import make_schedule
+
+    sched = make_schedule(args.noise_schedule, args.noise_steps)
+    key = jax.random.PRNGKey(33)
+    if args.task == "generation":
+        n = max(2, min(4, getattr(args, "num_classes", 2)))
+        cond = jnp.arange(n, dtype=jnp.int32) % (model.num_classes or 1)
+        x0 = jnp.full((n, image_size, image_size, model.image_channels), 0.5,
+                      jnp.float32)
+    else:
+        cs = image_size // (model.magnification_factor or 1) \
+            if args.task == "superres" else image_size
+        calib = getattr(args, "quant_calib_image", None)
+        if calib:
+            from PIL import Image
+
+            img = Image.open(calib).convert("RGB").resize((cs, cs), Image.BICUBIC)
+            cond = jnp.asarray(np.asarray(img, np.float32) / 255.0)[None]
+            if cond.shape[-1] != model.cond_channels:
+                cond = cond[..., : model.cond_channels]
+        else:
+            small = jax.random.uniform(key, (1, 8, 8, model.cond_channels))
+            cond = jax.image.resize(small, (1, cs, cs, model.cond_channels),
+                                    "bicubic")
+        if args.task == "superres":
+            x0 = jax.image.resize(
+                cond, (1, image_size, image_size, cond.shape[-1]), "bicubic"
+            )[..., : model.image_channels]
+        else:
+            x0 = jnp.full((1, image_size, image_size, model.image_channels),
+                          0.5, jnp.float32)
+    vq = quantize_for_sampling(
+        model, variables, sched.alpha_hat, x0, cond,
+        jax.random.fold_in(key, 1), train=False,
+    )
+    n_sites = len(jax.tree_util.tree_leaves(vq["quant"]))
+    print(f"int8 quantized serving: {n_sites} conv sites calibrated")
+    return vq
 
 
 def launch_serving(args) -> None:

@@ -28,6 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from diffusionremotesensing_tpu.ops import quant as quant_ops
+
 from diffusionremotesensing_tpu.ops.resize import upsample_nearest
 
 # --------------------------------------------------------------------------
@@ -71,6 +73,19 @@ class TorchConv(nn.Module):
         pad = (self.kernel - 1) // 2 if self.pad is None else self.pad
         in_ch = x.shape[-1]
         fan_in = in_ch * self.kernel * self.kernel
+        kw = {}
+        if self.is_mutable_collection("quant") and not self.is_initializing():
+            # W8A8 calibration pass (ops/quant.calibrate): record this
+            # site's activation amax, run the exact conv unchanged
+            self.sow("quant", "amax", quant_ops.abs_max(x),
+                     reduce_fn=jnp.maximum,
+                     init_fn=lambda: jnp.zeros((), jnp.float32))
+        elif self.has_variable("quant", "amax"):
+            # quantized inference: the calibrated scale is present in the
+            # variables, so swap in the int8 conv (ops/quant.flax_conv_fn)
+            kw["conv_general_dilated"] = quant_ops.flax_conv_fn(
+                self.get_variable("quant", "amax")
+            )
         return nn.Conv(
             features=self.features,
             kernel_size=(self.kernel, self.kernel),
@@ -80,6 +95,7 @@ class TorchConv(nn.Module):
             bias_init=_torch_bias_init(fan_in),
             dtype=self.dtype,
             name="conv",
+            **kw,
         )(x)
 
 
@@ -138,6 +154,19 @@ class ConvTranspose2x(nn.Module):
         )
         bias = self.param("bias", _torch_bias_init(fan_in), (self.features,))
         dtype = self.dtype or x.dtype
+        if self.is_mutable_collection("quant") and not self.is_initializing():
+            self.sow("quant", "amax", quant_ops.abs_max(x),
+                     reduce_fn=jnp.maximum,
+                     init_fn=lambda: jnp.zeros((), jnp.float32))
+        elif self.has_variable("quant", "amax"):
+            y = quant_ops.conv_int8(
+                x.astype(dtype), kernel.astype(dtype),
+                self.get_variable("quant", "amax"),
+                window_strides=(1, 1), padding=((1, 2), (1, 2)),
+                lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).astype(dtype)
+            return y + bias.astype(dtype)
         y = jax.lax.conv_general_dilated(
             x.astype(dtype),
             kernel.astype(dtype),

@@ -44,8 +44,18 @@ from diffusionremotesensing_tpu.ops.resize import upsample_bicubic
 
 
 
-def _named_conv(label, x, w, padding, dt, strides=(1, 1)):
+def _named_conv(label, x, w, padding, dt, strides=(1, 1), amax=None):
     with jax.named_scope(label):
+        if amax is not None:
+            # W8A8 static-scale path (ops/quant.py): engaged per site when a
+            # calibrated activation scale is present in the "quant" collection
+            from diffusionremotesensing_tpu.ops.quant import conv_int8
+
+            return conv_int8(
+                x.astype(dt), w.astype(dt), amax,
+                window_strides=strides, padding=padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).astype(dt)
         from diffusionremotesensing_tpu.ops.s2d import conv_s2d as _c
         return _c(x, w, padding, dt, strides=strides)
 
@@ -465,6 +475,28 @@ class ResidualAttentionUNet(nn.Module):
             k["head_at_p"] = kpack_weights(k["head_at"])
         return k
 
+    def _quant_amax(self, label, x):
+        """W8A8 hook for the hand-written s2d conv sites (ops/quant.py;
+        TorchConv/ConvTranspose2x sites hook themselves in blocks.py):
+        during calibration (``mutable=["quant"]``) record this site's
+        activation amax under ``label`` and stay on the exact path; during
+        quantized inference return the calibrated scale; otherwise None."""
+        if self.is_mutable_collection("quant") and not self.is_initializing():
+            from diffusionremotesensing_tpu.ops.quant import abs_max
+
+            self.sow("quant", label, abs_max(x), reduce_fn=jnp.maximum,
+                     init_fn=lambda: jnp.zeros((), jnp.float32))
+            return None
+        if self.has_variable("quant", label):
+            return self.get_variable("quant", label)
+        return None
+
+    def _qconv(self, label, x, w, padding, dt, strides=(1, 1)):
+        """_named_conv with the per-site quant hook applied."""
+        return _named_conv(
+            label, x, w, padding, dt, strides, amax=self._quant_amax(label, x)
+        )
+
     def _forward_s2d(self, x, t_emb, cond_features, train, kern=None, s2d_io=False):
         from diffusionremotesensing_tpu.ops.s2d import (
             conv_s2d,
@@ -552,7 +584,7 @@ class ResidualAttentionUNet(nn.Module):
                 )
             return self._forward_s2d_tail(res0_s, t_emb, train, kern, s2d_io, dt, updates)
 
-        h_s = _named_conv("s2d.conv0", xs, kern["conv0"], SAME, dt)
+        h_s = self._qconv("s2d.conv0", xs, kern["conv0"], SAME, dt)
         if cond_features is not None and cond_features.ndim == 5:
             # demoted-stem path: the caller hoisted encode_cond_stem's
             # (B, NH, ROWS+4, W2, C14) slabs, which carry conv0-bias + cond
@@ -590,12 +622,12 @@ class ResidualAttentionUNet(nn.Module):
                     h_s, kern["blk_conv1_44"], kern["blk_skip_44"], interpret=interp
                 )
         else:
-            h = _named_conv("s2d.blk_conv1", h_s, kern["blk_conv1"], SAME, dt)
+            h = self._qconv("s2d.blk_conv1", h_s, kern["blk_conv1"], SAME, dt)
             h_sk = None
         h = h + tile(self._p(blk, "conv1", "conv", "bias"))
         h = nn.relu(self._bn_s2d(h, blk, "BatchNorm_0", dt, train, updates, "conv_block0"))
         if h_sk is None:
-            h_sk = _named_conv("s2d.blk_skip", x_skip_s, kern["blk_skip"], SAME, dt)
+            h_sk = self._qconv("s2d.blk_skip", x_skip_s, kern["blk_skip"], SAME, dt)
         h = h + h_sk + tile(self._p(blk, "conv_skip", "conv", "bias"))
         te = self._time_bias(blk, t_emb.astype(dt), dt)  # (B, 32)
         h = h + jnp.tile(te, (1, 4))[:, None, None, :]
@@ -603,10 +635,10 @@ class ResidualAttentionUNet(nn.Module):
             with jax.named_scope("s2d.tap_conv2"):
                 h = tap_conv(h, kern["blk_conv2_44"], interpret=interp)
         else:
-            h = _named_conv("s2d.blk_conv2", h, kern["blk_conv2"], SAME, dt)
+            h = self._qconv("s2d.blk_conv2", h, kern["blk_conv2"], SAME, dt)
         h = h + tile(self._p(blk, "conv2", "conv", "bias"))
         h = self._bn_s2d(h, blk, "BatchNorm_1", dt, train, updates, "conv_block0")
-        s = _named_conv("s2d.blk_short", x_skip_s, kern["blk_short"], "VALID", dt) + tile(self._p(blk, "shortcut_conv", "conv", "bias"))
+        s = self._qconv("s2d.blk_short", x_skip_s, kern["blk_short"], "VALID", dt) + tile(self._p(blk, "shortcut_conv", "conv", "bias"))
         s = self._bn_s2d(s, blk, "BatchNorm_2", dt, train, updates, "conv_block0")
         res0_s = nn.relu(s + h)
         return self._forward_s2d_tail(res0_s, t_emb, train, kern, s2d_io, dt, updates)
@@ -618,15 +650,15 @@ class ResidualAttentionUNet(nn.Module):
         w_x's 2x2/s2 conv == one 1x1 conv over the 4 taps (k2s2_to_1x1),
         psi's nearest x2 upsample == broadcast over the taps, result_conv ==
         block-diagonal 1x1. Returns the gated result in s2d layout."""
-        g1 = _named_conv(f"{label}_wg", g, self._p(att, "w_g", "conv", "kernel"), "VALID", dt)
+        g1 = self._qconv(f"{label}_wg", g, self._p(att, "w_g", "conv", "kernel"), "VALID", dt)
         g1 = g1 + self._p(att, "w_g", "conv", "bias").astype(dt)
-        x1 = _named_conv(f"{label}_wx", x_s2d, wx_kern, "VALID", dt) + self._p(
+        x1 = self._qconv(f"{label}_wx", x_s2d, wx_kern, "VALID", dt) + self._p(
             att, "w_x", "conv", "bias"
         ).astype(dt)
         psi = nn.relu(g1 + x1)
-        psi = _named_conv(f"{label}_psi", psi, self._p(att, "psi", "conv", "kernel"), "VALID", dt)
+        psi = self._qconv(f"{label}_psi", psi, self._p(att, "psi", "conv", "kernel"), "VALID", dt)
         psi = nn.sigmoid(psi + self._p(att, "psi", "conv", "bias").astype(dt))
-        attn_s = _named_conv(f"{label}_rc", x_s2d * psi, rc_kern, "VALID", dt) + jnp.tile(
+        attn_s = self._qconv(f"{label}_rc", x_s2d * psi, rc_kern, "VALID", dt) + jnp.tile(
             self._p(att, "result_conv", "conv", "bias"), 4
         ).astype(dt)
         return self._bn_s2d(attn_s, att, "BatchNorm_0", dt, train, updates, stats_name)
@@ -660,7 +692,7 @@ class ResidualAttentionUNet(nn.Module):
 
             interp = jax.default_backend() != "tpu"
             blk1 = self.conv_blocks[1]
-            b1_in = _named_conv(
+            b1_in = self._qconv(
                 "s2d.down0s", res0_s, kern["down0_s2d"], ((1, 0), (1, 0)), dt,
                 strides=(2, 2),
             ) + tile(self._p(self.downs[0], "conv", "bias"))
@@ -670,12 +702,12 @@ class ResidualAttentionUNet(nn.Module):
                     b1_in, jnp.tile(te1, (1, 4)), kern["tap_block1"],
                     interpret=interp,
                 )
-            h = _named_conv(
+            h = self._qconv(
                 "s2d.down1", res1_s, kern["down1_s2d"], ((1, 0), (1, 0)), dt
             ) + self._p(self.downs[1], "conv", "bias").astype(dt)
         else:
             # ---- down0: 3x3 stride-2 conv == 2x2 s2d conv; output leaves s2d
-            h = _named_conv("s2d.down0", res0_s, kern["down0"], ((1, 0), (1, 0)), dt) + self._p(
+            h = self._qconv("s2d.down0", res0_s, kern["down0"], ((1, 0), (1, 0)), dt) + self._p(
                 self.downs[0], "conv", "bias"
             ).astype(dt)
             res1 = h = self.conv_blocks[1](h, t_emb, None, train=train)
@@ -782,7 +814,7 @@ class ResidualAttentionUNet(nn.Module):
             up = self.ups[2]
             te = self._time_bias(up, t_emb.astype(dt), dt)
             hh = h + te[:, None, None, :]
-            hh = _named_conv("s2d.up2_conv", hh, self._p(up, "conv", "conv", "kernel"), SAME, dt)
+            hh = self._qconv("s2d.up2_conv", hh, self._p(up, "conv", "conv", "kernel"), SAME, dt)
             hh = hh + self._p(up, "conv", "conv", "bias").astype(dt)
             hh = self._bn_s2d(hh, up, "BatchNorm_0", dt, train, updates, "up2", taps=False)
             hh = nn.relu(hh)
@@ -816,15 +848,15 @@ class ResidualAttentionUNet(nn.Module):
 
                 out_s = _upk(out_p, kern["head_at"].shape[3])
             else:
-                out_s = _named_conv("s2d.head_up4", hh, kern["head_up4"], ((1, 2), (1, 2)), dt)
+                out_s = self._qconv("s2d.head_up4", hh, kern["head_up4"], ((1, 2), (1, 2)), dt)
             if use_fa:
                 out_s = out_s + head_at_out
             else:
-                out_s = out_s + _named_conv("s2d.head_at", attn_s, kern["head_at"], SAME, dt)
+                out_s = out_s + self._qconv("s2d.head_at", attn_s, kern["head_at"], SAME, dt)
         # boundary corrections: the composed conv leaks x-padding through
         # intermediate row/col -1, which the uncomposed head zeroed out
-        fix_t = _named_conv("s2d.head_fix_x", hh_row0, kern["head_fix_x"], ((0, 0), (1, 2)), dt)
-        fix_l = _named_conv("s2d.head_fix_y", hh_col0, kern["head_fix_y"], ((1, 2), (0, 0)), dt)
+        fix_t = self._qconv("s2d.head_fix_x", hh_row0, kern["head_fix_x"], ((0, 0), (1, 2)), dt)
+        fix_l = self._qconv("s2d.head_fix_y", hh_col0, kern["head_fix_y"], ((1, 2), (0, 0)), dt)
         out_s = out_s.at[:, :1].add(-fix_t).at[:, :, :1].add(-fix_l)
         # the two strips double-subtract the (0,0) corner term — re-add once
         out_s = out_s.at[:, :1, :1].add(

@@ -67,6 +67,15 @@ if __name__ == "__main__":
     parser.add_argument("--s2d", type=str2bool, nargs="?", const=True, default=True,
                         help="space-to-depth inference execution (exact math, "
                              "faster on TPU); --s2d false disables")
+    parser.add_argument("--quant", type=str, default="none",
+                        choices=["none", "int8"],
+                        help="W8A8 static-calibration int8 execution "
+                             "(ops/quant.py; NOT fp-equivalent, quality-gated "
+                             "in benchmarks/NOTES.md; default off = exact path)")
+    parser.add_argument("--quant_calib_image", type=str, default=None,
+                        help="representative input image for --quant int8 "
+                             "calibration (recommended; default: smooth "
+                             "synthetic proxy)")
     parser.add_argument("--data_parallel", type=str2bool, nargs="?", const=True,
                         default=False,
                         help="span all local devices with one server: params "
