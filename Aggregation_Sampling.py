@@ -31,6 +31,15 @@ if __name__ == "__main__":
     parser.add_argument("--stride", type=int, default=32)
     parser.add_argument("--destination_path", type=str)
     parser.add_argument("--img_lr_path", type=str)
+    parser.add_argument("--img_lr_dir", type=str, default=None,
+                        help="framework addition: super-resolve EVERY image in "
+                             "this folder in one process (one compiled sampler, "
+                             "startup amortized across the fleet); outputs keep "
+                             "their basenames under --destination_dir. Unset = "
+                             "reference single-image behavior via --img_lr_path")
+    parser.add_argument("--destination_dir", type=str, default=None,
+                        help="output folder for --img_lr_dir (falls back to "
+                             "--destination_path interpreted as a folder)")
     # framework additions (optional; defaults preserve reference behavior)
     parser.add_argument("--batch_size", type=int, default=48,
                         help="patches denoised per jitted call (48 = measured "

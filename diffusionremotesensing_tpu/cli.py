@@ -636,29 +636,44 @@ def launch_aggregation(args) -> None:
         device,
     )
 
-    img_lr = Image.open(args.img_lr_path)
-    if img_lr.size[0] != img_lr.size[1]:
-        s = squarify_sizes(*img_lr.size)
-        print(
-            f"The image must be square but it is {img_lr.size[0], img_lr.size[1]}! "
-            f"It will be resized to {s}x{s}"
+    def _load_lr(path: str) -> np.ndarray:
+        img_lr = Image.open(path)
+        if img_lr.size[0] != img_lr.size[1]:
+            s = squarify_sizes(*img_lr.size)
+            print(
+                f"The image must be square but it is {img_lr.size[0], img_lr.size[1]}! "
+                f"It will be resized to {s}x{s}"
+            )
+            img_lr = img_lr.resize((s, s), Image.BICUBIC)
+        return np.asarray(img_lr.convert("RGB"), np.float32) / 255.0
+
+    img_dir = getattr(args, "img_lr_dir", None)
+    if img_dir:
+        # directory mode (framework addition, no reference counterpart): one
+        # process / one compiled sampler over every image in the folder —
+        # amortizes interpreter+snapshot+compile startup across a fleet of
+        # scenes instead of paying it per Aggregation_Sampling invocation
+        exts = (".png", ".jpg", ".jpeg", ".tif", ".tiff", ".bmp")
+        paths = sorted(
+            os.path.join(img_dir, f)
+            for f in os.listdir(img_dir)
+            if f.lower().endswith(exts)
         )
-        img_lr = img_lr.resize((s, s), Image.BICUBIC)
-    arr = np.asarray(img_lr.convert("RGB"), np.float32) / 255.0
+        if not paths:
+            raise FileNotFoundError(f"no images with {exts} under {img_dir}")
+        dest_dir = getattr(args, "destination_dir", None) or args.destination_path
+        if not dest_dir:
+            raise ValueError("--img_lr_dir needs --destination_dir (or --destination_path) for the outputs")
+        os.makedirs(dest_dir, exist_ok=True)
+    else:
+        paths = [args.img_lr_path]
+        dest_dir = None
 
     hr_patch = args.patch_size * args.magnification_factor
     from diffusionremotesensing_tpu.diffusion import make_process
 
     proc = make_process(model, args.noise_schedule, args.noise_steps, hr_patch)
-    if getattr(args, "quant", "none") == "int8":
-        from diffusionremotesensing_tpu.ops.quant import quantize_superres_tile
-
-        variables = quantize_superres_tile(
-            model, variables, proc.schedule.alpha_hat, arr,
-            args.patch_size, args.magnification_factor, jax.random.PRNGKey(21),
-        )
-        n = len(jax.tree_util.tree_leaves(variables["quant"]))
-        print(f"int8 quantized execution: {n} conv sites calibrated on this tile")
+    base_variables = variables
     mesh = _make_mesh_if(getattr(args, "multiple_gpus", False))
     sampler = AggregationSampler(
         proc,
@@ -673,8 +688,29 @@ def launch_aggregation(args) -> None:
         ddim_clip_x0=getattr(args, "ddim_clip_x0", True),
         fused_update=getattr(args, "fused_update", False),
     )
-    out = sampler(variables, arr)
-    save_image(out, args.destination_path)
+    for i, path in enumerate(paths):
+        arr = _load_lr(path)
+        variables = base_variables
+        if getattr(args, "quant", "none") == "int8":
+            from diffusionremotesensing_tpu.ops.quant import quantize_superres_tile
+
+            variables = quantize_superres_tile(
+                model, base_variables, proc.schedule.alpha_hat, arr,
+                args.patch_size, args.magnification_factor, jax.random.PRNGKey(21),
+            )
+            n = len(jax.tree_util.tree_leaves(variables["quant"]))
+            print(f"int8 quantized execution: {n} conv sites calibrated on this tile")
+        # per-image key stream in directory mode (fold_in by position); the
+        # single-image path keeps the sampler's default key = the behavior
+        # every golden/parity test pins
+        key = jax.random.fold_in(jax.random.PRNGKey(0), i) if img_dir else None
+        out = sampler(variables, arr, key=key)
+        if dest_dir is not None:
+            dest = os.path.join(dest_dir, os.path.basename(path))
+            save_image(out, dest)
+            print(f"[{i + 1}/{len(paths)}] {path} -> {dest}")
+        else:
+            save_image(out, args.destination_path)
 
 
 # ------------------------------------------------------------------ serving

@@ -1,12 +1,13 @@
 """W8A8 static-calibration quantized inference (opt-in ``--quant int8``).
 
-TPU v5e runs int8 MXU matmuls at ~2x the bf16 peak; measured through XLA at
-this model's conv shapes the full static-scale sandwich (quantize -> int8
-conv -> dequantize) is 1.4-1.8x per conv, while *dynamic* per-batch scales
-lose the win to the amax reduction (benchmarks/NOTES.md round-3 int8 probe).
-So activations use STATIC per-site scales collected by a one-off calibration
-pass, and weights use per-output-channel scales computed inline (loop
-invariant -> hoisted/constant-folded by XLA).
+TPU v5e advertises ~2x int8 MXU peak, but measured through XLA this model's
+conv shapes reach at most 1.17x gross per conv, and the full path is ~6.5%
+SLOWER end to end (benchmarks/NOTES.md round-3 int8 probe + W8A8 A/B) — so
+this ships as a quantized-inference *capability* (quality gated end to end),
+not a speed knob on this chip. Activations use STATIC per-site scales from a
+one-off calibration pass (dynamic per-batch amax would add an HBM-bound
+reduction per conv); weights use per-output-channel scales computed inline
+(loop invariant -> hoisted/constant-folded by XLA).
 
 Design (no reference counterpart — the reference is f32 torch end to end):
 

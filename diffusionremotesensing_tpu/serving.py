@@ -167,6 +167,7 @@ class InferenceServer:
         self._key = jax.random.PRNGKey(seed)
         self._lock = threading.Lock()
         self._ddim_steps = ddim_steps
+        self._ddim_clip_x0 = ddim_clip_x0
         self._agg = None                 # lazy AggregationSampler (tiled SR)
         self._tile_lock = threading.Lock()
         self.batcher = MicroBatcher(self._run_batch, max_batch, max_wait_ms)
@@ -270,6 +271,8 @@ class InferenceServer:
                     stride=p // 2,
                     magnification_factor=self.model.magnification_factor or 1,
                     ddim_steps=self._ddim_steps,
+                    ddim_clip_x0=self._ddim_clip_x0,  # keep /superres_tile on
+                    # the same DDIM trajectory as the micro-batch endpoints
                     mesh=self.mesh,   # shard the patch axis across the mesh
                 )
             return np.asarray(self._agg(self.variables, img, key=self._next_key()))

@@ -139,6 +139,29 @@ def test_aggregation_cli_with_trained_snapshot(workdir):
     out = Image.open(os.path.join(workdir, "sr_out.png"))
     assert out.size == (64, 64)
 
+    # directory mode (framework addition): every folder image SR'd in one
+    # process, basenames preserved under --destination_dir
+    _mk_images(os.path.join(workdir, "lr_many"), n=3, size=32)
+    _run(
+        "Aggregation_Sampling.py",
+        [
+            "--model_name", "smoke_agg", "--magnification_factor", "2",
+            "--noise_steps", "6", "--patch_size", "16", "--stride", "8",
+            "--model_input_size", "32", "--UNet_type", "Residual Attention UNet",
+            "--Degradation_type", "DownBlur", "--device", "cpu",
+            "--img_lr_dir", "lr_many", "--destination_dir", "sr_many",
+        ],
+        workdir,
+    )
+    outs = sorted(os.listdir(os.path.join(workdir, "sr_many")))
+    assert outs == ["img_0.png", "img_1.png", "img_2.png"]
+    arrs = [
+        np.asarray(Image.open(os.path.join(workdir, "sr_many", f))) for f in outs
+    ]
+    assert all(a.shape == (64, 64, 3) for a in arrs)
+    # per-image key folding: distinct inputs + distinct keys -> distinct SRs
+    assert not np.array_equal(arrs[0], arrs[1])
+
 
 def test_generation_cli_with_video_and_preview_grid(workdir):
     """--generate_video writes the denoising mp4; previews use the

@@ -219,6 +219,23 @@ def test_shutdown_fails_pending_and_new_requests():
     assert isinstance(r2, RuntimeError)
 
 
+def test_infer_tile_forwards_ddim_config():
+    """The lazy AggregationSampler behind /superres_tile must inherit the
+    server's DDIM configuration — a server launched with --ddim_clip_x0
+    false must not silently clip on the tile endpoint."""
+    model = residual_attention_unet_superres(magnification_factor=2)
+    variables = init_unet_params(model, jax.random.PRNGKey(0), image_size=16)
+    kw = dict(noise_schedule="linear", noise_steps=6, image_size=16,
+              task="superres", max_batch=4, max_wait_ms=20, ddim_steps=3)
+    tile = np.random.default_rng(3).random((16, 16, 3)).astype(np.float32)
+    for clip in (True, False):
+        srv = InferenceServer(model, variables, ddim_clip_x0=clip, **kw)
+        srv.infer_tile(tile)  # builds the lazy sampler
+        assert srv._agg.ddim_steps == 3
+        assert srv._agg.ddim_clip_x0 is clip
+        srv.batcher.shutdown()
+
+
 def test_infer_tile_aggregation_endpoint():
     """/superres_tile: whole-scene tiled SR through aggregation sampling
     (the Aggregation_Sampling.py flow behind the serving surface)."""
