@@ -699,14 +699,19 @@ def launch_aggregation(args) -> None:
                 args.patch_size, args.magnification_factor, jax.random.PRNGKey(21),
             )
             n = len(jax.tree_util.tree_leaves(variables["quant"]))
-            print(f"int8 quantized execution: {n} conv sites calibrated on this tile")
+            print(f"int8 quantized execution: {n} conv-site scales calibrated "
+                  f"on this tile (sites engage per execution branch)")
         # per-image key stream in directory mode (fold_in by position); the
         # single-image path keeps the sampler's default key = the behavior
         # every golden/parity test pins
         key = jax.random.fold_in(jax.random.PRNGKey(0), i) if img_dir else None
         out = sampler(variables, arr, key=key)
         if dest_dir is not None:
-            dest = os.path.join(dest_dir, os.path.basename(path))
+            # always PNG: keeping a .jpg input's extension would re-encode
+            # the super-resolved output with lossy JPEG, silently discarding
+            # the quality the sampler just produced
+            stem = os.path.splitext(os.path.basename(path))[0]
+            dest = os.path.join(dest_dir, stem + ".png")
             save_image(out, dest)
             print(f"[{i + 1}/{len(paths)}] {path} -> {dest}")
         else:
@@ -846,9 +851,15 @@ def _quantize_serving_variables(args, model, variables, image_size: int):
 
     sched = make_schedule(args.noise_schedule, args.noise_steps)
     key = jax.random.PRNGKey(33)
+    cond_mask = None
     if args.task == "generation":
         n = max(2, min(4, getattr(args, "num_classes", 2)))
         cond = jnp.arange(n, dtype=jnp.int32) % (model.num_classes or 1)
+        # half conditioned / half unconditional: the serving sampler's
+        # batched CFG runs a mask=0 half (zeroed label embedding) every
+        # step, so calibration must see BOTH guidance regimes or the
+        # unconditional half clips on uncalibrated scales
+        cond_mask = (jnp.arange(n) < (n + 1) // 2).astype(jnp.float32)
         x0 = jnp.full((n, image_size, image_size, model.image_channels), 0.5,
                       jnp.float32)
     else:
@@ -875,10 +886,11 @@ def _quantize_serving_variables(args, model, variables, image_size: int):
                           0.5, jnp.float32)
     vq = quantize_for_sampling(
         model, variables, sched.alpha_hat, x0, cond,
-        jax.random.fold_in(key, 1), train=False,
+        jax.random.fold_in(key, 1), cond_mask=cond_mask, train=False,
     )
     n_sites = len(jax.tree_util.tree_leaves(vq["quant"]))
-    print(f"int8 quantized serving: {n_sites} conv sites calibrated")
+    print(f"int8 quantized serving: {n_sites} conv-site scales attached "
+          f"(a site engages when its execution branch runs)")
     return vq
 
 

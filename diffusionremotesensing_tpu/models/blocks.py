@@ -74,18 +74,11 @@ class TorchConv(nn.Module):
         in_ch = x.shape[-1]
         fan_in = in_ch * self.kernel * self.kernel
         kw = {}
-        if self.is_mutable_collection("quant") and not self.is_initializing():
-            # W8A8 calibration pass (ops/quant.calibrate): record this
-            # site's activation amax, run the exact conv unchanged
-            self.sow("quant", "amax", quant_ops.abs_max(x),
-                     reduce_fn=jnp.maximum,
-                     init_fn=lambda: jnp.zeros((), jnp.float32))
-        elif self.has_variable("quant", "amax"):
-            # quantized inference: the calibrated scale is present in the
-            # variables, so swap in the int8 conv (ops/quant.flax_conv_fn)
-            kw["conv_general_dilated"] = quant_ops.flax_conv_fn(
-                self.get_variable("quant", "amax")
-            )
+        # W8A8 hook (ops/quant.module_amax): sow amax during calibration,
+        # swap in the int8 conv when a calibrated scale is attached
+        amax = quant_ops.module_amax(self, "amax", x)
+        if amax is not None:
+            kw["conv_general_dilated"] = quant_ops.flax_conv_fn(amax)
         return nn.Conv(
             features=self.features,
             kernel_size=(self.kernel, self.kernel),
@@ -154,14 +147,10 @@ class ConvTranspose2x(nn.Module):
         )
         bias = self.param("bias", _torch_bias_init(fan_in), (self.features,))
         dtype = self.dtype or x.dtype
-        if self.is_mutable_collection("quant") and not self.is_initializing():
-            self.sow("quant", "amax", quant_ops.abs_max(x),
-                     reduce_fn=jnp.maximum,
-                     init_fn=lambda: jnp.zeros((), jnp.float32))
-        elif self.has_variable("quant", "amax"):
+        amax = quant_ops.module_amax(self, "amax", x)
+        if amax is not None:
             y = quant_ops.conv_int8(
-                x.astype(dtype), kernel.astype(dtype),
-                self.get_variable("quant", "amax"),
+                x.astype(dtype), kernel.astype(dtype), amax,
                 window_strides=(1, 1), padding=((1, 2), (1, 2)),
                 lhs_dilation=(2, 2),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -475,26 +475,13 @@ class ResidualAttentionUNet(nn.Module):
             k["head_at_p"] = kpack_weights(k["head_at"])
         return k
 
-    def _quant_amax(self, label, x):
-        """W8A8 hook for the hand-written s2d conv sites (ops/quant.py;
-        TorchConv/ConvTranspose2x sites hook themselves in blocks.py):
-        during calibration (``mutable=["quant"]``) record this site's
-        activation amax under ``label`` and stay on the exact path; during
-        quantized inference return the calibrated scale; otherwise None."""
-        if self.is_mutable_collection("quant") and not self.is_initializing():
-            from diffusionremotesensing_tpu.ops.quant import abs_max
-
-            self.sow("quant", label, abs_max(x), reduce_fn=jnp.maximum,
-                     init_fn=lambda: jnp.zeros((), jnp.float32))
-            return None
-        if self.has_variable("quant", label):
-            return self.get_variable("quant", label)
-        return None
-
     def _qconv(self, label, x, w, padding, dt, strides=(1, 1)):
-        """_named_conv with the per-site quant hook applied."""
+        """_named_conv with the per-site W8A8 hook (ops/quant.module_amax —
+        the same hook TorchConv/ConvTranspose2x apply in blocks.py)."""
+        from diffusionremotesensing_tpu.ops.quant import module_amax
+
         return _named_conv(
-            label, x, w, padding, dt, strides, amax=self._quant_amax(label, x)
+            label, x, w, padding, dt, strides, amax=module_amax(self, label, x)
         )
 
     def _forward_s2d(self, x, t_emb, cond_features, train, kern=None, s2d_io=False):

@@ -35,8 +35,9 @@ import jax.numpy as jnp
 
 # conv sites never quantized by default (substring match on the flattened
 # "quant" path): the composed output head + its boundary fixes write the
-# image; psi projects to ONE channel (no MXU win, quality-sensitive gate).
-DEFAULT_EXCLUDE = ("head", "_psi", "psi/")
+# image ("head*" labels on the s2d path, the "output" module on the plain
+# path); psi projects to ONE channel (no MXU win, quality-sensitive gate).
+DEFAULT_EXCLUDE = ("head", "_psi", "psi/", "output")
 
 _EPS = 1e-12
 
@@ -44,6 +45,23 @@ _EPS = 1e-12
 def abs_max(x) -> jnp.ndarray:
     """Scalar f32 max|x| (the calibration statistic)."""
     return jnp.max(jnp.abs(x.astype(jnp.float32)))
+
+
+def module_amax(module, name, x):
+    """The per-conv-site quant hook, shared by every site (TorchConv,
+    ConvTranspose2x, and the hand-written s2d convs): during a calibration
+    pass (``mutable=["quant"]``) record this site's activation amax under
+    ``name`` and return None (the caller stays on the exact conv); during
+    quantized inference return the calibrated scale (the caller switches to
+    the int8 conv); otherwise None (the exact path — provably inert without
+    the "quant" collection)."""
+    if module.is_mutable_collection("quant") and not module.is_initializing():
+        module.sow("quant", name, abs_max(x), reduce_fn=jnp.maximum,
+                   init_fn=lambda: jnp.zeros((), jnp.float32))
+        return None
+    if module.has_variable("quant", name):
+        return module.get_variable("quant", name)
+    return None
 
 
 def _weight_qparams(kernel):
@@ -174,18 +192,48 @@ def attach(variables, quant_tree):
 
 def quantize_for_sampling(model, variables, schedule_alpha_hat, x0_proxy,
                           cond, key, ts=None, exclude=DEFAULT_EXCLUDE,
-                          margin: float = 1.05, **apply_kwargs):
+                          margin: float = 1.05, cond_mask=None, **apply_kwargs):
     """One-stop W8A8 preparation for a sampling workload: build probes that
     span the denoising trajectory, calibrate every conv site, apply the
     default policy, and return ``variables`` with the scales attached. The
     model must carry its production inference flags (s2d/tap44/dtype) so
-    calibration walks the exact execution path the sampler will compile."""
+    calibration walks the execution path the sampler will compile.
+
+    ``cond_mask`` (generation/CFG only): a (B,) float mask forwarded to the
+    model so the probes exercise BOTH guidance regimes — the sampler's
+    batched CFG (diffusion.py) runs a mask=0 half whose label embedding is
+    zeroed, an activation regime a labels-only probe never sees; pass a
+    half-ones/half-zeros mask so its maxima inform the scales.
+
+    Branch coverage: the tap44 VMEM-fit guards (models/unet.py) pick between
+    the fused Pallas level-0 kernel and the dense-s2d conv sites PER BATCH
+    SHAPE, and one aggregation run genuinely executes both (full chunks +
+    the small remainder chunk). When the model carries a tap44 config, the
+    dense branch is calibrated as well (``model.clone(tap44=False)`` over
+    the same probes, trees merged by maximum) so every site that can
+    execute holds a scale, whichever branch a given batch takes."""
     probes = [
-        p if cond is None else p + (cond,)
+        p if cond is None else
+        (p + (cond,) if cond_mask is None else p + (cond, cond_mask))
         for p in sampling_probes(x0_proxy, schedule_alpha_hat, key, ts)
     ]
     tree = calibrate(model, variables, probes, **apply_kwargs)
+    if getattr(model, "tap44", False):
+        dense = calibrate(model.clone(tap44=False), variables, probes,
+                          **apply_kwargs)
+        tree = _merge_max(tree, dense)
     return attach(variables, filter_scales(tree, exclude=exclude, margin=margin))
+
+
+def _merge_max(a, b):
+    """Merge two quant trees by elementwise maximum, keeping sites present
+    in only one of them (branch-specific conv sites)."""
+    if not isinstance(a, dict) or not isinstance(b, dict):
+        return jnp.maximum(jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32))
+    out = dict(a)
+    for k, v in b.items():
+        out[k] = _merge_max(a[k], v) if k in a else v
+    return out
 
 
 def quantize_superres_tile(model, variables, schedule_alpha_hat, lr_img,

@@ -140,8 +140,12 @@ def test_aggregation_cli_with_trained_snapshot(workdir):
     assert out.size == (64, 64)
 
     # directory mode (framework addition): every folder image SR'd in one
-    # process, basenames preserved under --destination_dir
+    # process, stems preserved under --destination_dir; outputs are always
+    # PNG (a .jpg input must not make the SR output lossy-JPEG-re-encoded)
     _mk_images(os.path.join(workdir, "lr_many"), n=3, size=32)
+    Image.open(os.path.join(workdir, "lr_many", "img_2.png")).save(
+        os.path.join(workdir, "lr_many", "img_3.jpg")
+    )
     _run(
         "Aggregation_Sampling.py",
         [
@@ -154,7 +158,7 @@ def test_aggregation_cli_with_trained_snapshot(workdir):
         workdir,
     )
     outs = sorted(os.listdir(os.path.join(workdir, "sr_many")))
-    assert outs == ["img_0.png", "img_1.png", "img_2.png"]
+    assert outs == ["img_0.png", "img_1.png", "img_2.png", "img_3.png"]
     arrs = [
         np.asarray(Image.open(os.path.join(workdir, "sr_many", f))) for f in outs
     ]

@@ -152,6 +152,75 @@ def test_generation_quant_with_labels():
     assert out.shape == (2, 16, 16, 3) and np.isfinite(out).all()
 
 
+def test_output_head_excluded_on_plain_path():
+    """The first/last-layer policy must hold on BOTH conv paths: the s2d
+    head sites are labeled 'head*', but the plain (s2d=False) path's final
+    1x1 conv is the flax module 'output' — it must not be quantized either."""
+    model, v, x, t, cond = _superres_setup(s2d=False)
+    tree = quant.calibrate(model, v, [(x, t, cond)], train=False)
+    assert any("/output/" in p for p in _paths(dict(tree)))  # site was seen
+    kept = sorted(_paths(quant.filter_scales(tree)))
+    assert kept and all("output" not in p for p in kept)
+
+
+def test_cfg_uncond_branch_calibrated():
+    """Generation calibration must exercise the unconditional (mask=0) CFG
+    regime: a half-ones cond_mask changes the recorded maxima vs an
+    all-conditioned probe set (the zeroed label embedding is a different
+    activation regime the sampler runs on half of every batch)."""
+    model = residual_attention_unet_generation(num_classes=3, s2d=False)
+    v = init_unet_params(model, jax.random.PRNGKey(0), image_size=16)
+    # make the label embedding loud so the regimes measurably differ
+    emb = np.asarray(v["params"]["label_emb"]["embedding"])
+    v = jax.tree_util.tree_map(lambda a: a, v)
+    v["params"]["label_emb"]["embedding"] = jnp.asarray(emb * 50.0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    t = jnp.array([3, 4], jnp.int32)
+    labels = jnp.array([0, 2], jnp.int32)
+    cond_tree = quant.calibrate(model, v, [(x, t, labels)], train=False)
+    mask = jnp.array([1.0, 0.0])
+    both_tree = quant.calibrate(model, v, [(x, t, labels, mask)], train=False)
+    a = jax.tree_util.tree_leaves(cond_tree)
+    b = jax.tree_util.tree_leaves(both_tree)
+    assert len(a) == len(b)
+    assert any(abs(float(x1) - float(x2)) > 1e-6 for x1, x2 in zip(a, b))
+    # and the one-stop helper accepts the mask (serve.py generation path)
+    from diffusionremotesensing_tpu.schedules import make_schedule
+
+    sched = make_schedule("cosine", 6)
+    vq = quant.quantize_for_sampling(
+        model, v, sched.alpha_hat, jnp.full((2, 16, 16, 3), 0.5), labels,
+        jax.random.PRNGKey(2), cond_mask=mask, train=False,
+    )
+    assert "quant" in vq and jax.tree_util.tree_leaves(vq["quant"])
+
+
+def test_tap44_branch_merge_covers_dense_sites():
+    """The tap44 VMEM guard picks the fused-kernel branch per batch shape, so
+    one aggregation run can execute BOTH branches (full chunks + remainder).
+    quantize_for_sampling must therefore also calibrate the dense-s2d conv
+    sites the fused branch skips (model.clone(tap44=False) merge)."""
+    model = residual_attention_unet_superres(
+        magnification_factor=2, s2d=True, tap44="block"
+    )
+    v = init_unet_params(model, jax.random.PRNGKey(0), image_size=16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    t = jnp.array([2, 3], jnp.int32)
+    cond = jax.random.uniform(jax.random.PRNGKey(2), (2, 8, 8, 3))
+    # the fused branch alone never touches the dense level-0 conv sites
+    fused_only = quant.calibrate(model, v, [(x, t, cond)], train=False)
+    assert not any("s2d.blk_conv1" in p for p in _paths(dict(fused_only)))
+    from diffusionremotesensing_tpu.schedules import make_schedule
+
+    sched = make_schedule("cosine", 6)
+    x0 = jax.image.resize(cond, (2, 16, 16, 3), "bicubic")
+    vq = quant.quantize_for_sampling(
+        model, v, sched.alpha_hat, x0, cond, jax.random.PRNGKey(3), train=False
+    )
+    kept = sorted(_paths(vq["quant"]))
+    assert any("s2d.blk_conv1" in p for p in kept), kept
+
+
 def test_training_path_untouched_by_quant_hooks():
     """The training forward (train=True, no quant collection) must neither
     record scales nor change numerics — the hooks are inference-only in
