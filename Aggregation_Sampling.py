@@ -10,7 +10,7 @@ from diffusionremotesensing_tpu.aggregation import (  # noqa: F401  (library API
     gaussian_weights,
     patchify_coords,
 )
-from diffusionremotesensing_tpu.cli import launch_aggregation
+from diffusionremotesensing_tpu.cli import launch_aggregation, str2bool
 
 if __name__ == "__main__":
     import argparse
@@ -52,35 +52,29 @@ if __name__ == "__main__":
                         help="DDIM timestep subsequence spacing (quadratic "
                              "concentrates steps near t=0; better at few steps)")
     parser.add_argument("--ddim_clip_x0",
-                        type=lambda v: str(v).lower() in ("yes", "true", "t", "1"),
-                        nargs="?", const=True, default=True,
+                        type=str2bool, nargs="?", const=True, default=True,
                         help="clamp the per-step DDIM x0 prediction to [0,1] "
                              "(default on: +2.1 dB / +0.027 SSIM at DDIM-100 on "
                              "the learning-gate model; --ddim_clip_x0 false disables)")
-    parser.add_argument("--s2d", type=lambda v: str(v).lower() in ("yes", "true", "t", "1"),
-                        nargs="?", const=True, default=True,
+    parser.add_argument("--s2d", type=str2bool, nargs="?", const=True, default=True,
                         help="space-to-depth inference execution (exact math, faster on TPU); --s2d false disables")
     parser.add_argument("--tap44", type=str, default="auto",
                         choices=["auto", "off", "conv2", "full", "block", "stem", "l1"],
                         help="tap-structured Pallas kernels for the s2d level-0 "
                              "convs (auto = fused-block kernel on TPU, off elsewhere)")
-    parser.add_argument("--fused_update", type=lambda v: str(v).lower() in ("yes", "true", "t", "1"),
-                        nargs="?", const=True, default=False,
+    parser.add_argument("--fused_update", type=str2bool, nargs="?", const=True, default=False,
                         help="fused Pallas ancestral update with the on-chip "
                              "hardware PRNG (TPU-only; same noise distribution, "
                              "different stream than the default threefry path; "
                              "DDPM only — rejected when combined with --ddim_steps)")
-    parser.add_argument("--fused_att", type=lambda v: str(v).lower() in ("yes", "true", "t", "1"),
-                        nargs="?", const=True, default=False,
+    parser.add_argument("--fused_att", type=str2bool, nargs="?", const=True, default=False,
                         help="fused Pallas stage-2 attention gate + packed "
                              "head_at (ops/att_block.py; exact math, TPU-only)")
-    parser.add_argument("--dec_block", type=lambda v: str(v).lower() in ("yes", "true", "t", "1"),
-                        nargs="?", const=True, default=False,
+    parser.add_argument("--dec_block", type=str2bool, nargs="?", const=True, default=False,
                         help="fused Pallas decoder tail: concat conv + "
                              "UpConvBlock-2 + packed head_up4 "
                              "(ops/dec_block.py; exact math, TPU-only)")
-    parser.add_argument("--multiple_gpus", type=lambda v: str(v).lower() in ("yes", "true", "t", "1"),
-                        nargs="?", const=True, default=False,
+    parser.add_argument("--multiple_gpus", type=str2bool, nargs="?", const=True, default=False,
                         help="shard the patch batch across all local chips")
     parser.add_argument("--quant", type=str, default="none",
                         choices=["none", "int8"],

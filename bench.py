@@ -240,14 +240,10 @@ def _wait_for_tpu():
 
 
 def main():
-    # honor DRS_FORCE_CPU=1 like the other CLIs (the sitecustomize-pinned
-    # remote-TPU platform ignores JAX_PLATFORMS env overrides): makes the
-    # bench smokeable in CI / during tunnel outages
-    if os.environ.get("DRS_FORCE_CPU"):
-        import jax
+    # makes the bench smokeable in CI / during tunnel outages
+    from diffusionremotesensing_tpu.utils import force_cpu_if_requested
 
-        jax.config.update("jax_platforms", "cpu")
-    else:
+    if not force_cpu_if_requested():
         _wait_for_tpu()
     n_patches = _patch_count()
     tile_s, tile_ddim_s, kind = bench_tpu()

@@ -69,14 +69,14 @@ def _tpu_setup(dtype_name: str, use_pallas: bool, s2d: bool = True):
     return model, variables, proc, dev
 
 
-def bench_denoise(dtype_name: str = "bf16", use_pallas: bool = False, reps: int = 3, s2d: bool = True):
+def bench_denoise(dtype_name: str = "bf16", use_pallas: bool = False, reps: int = 3, s2d: bool = True, batch: int = BATCH):
     import jax
 
     _, variables, proc, dev = _tpu_setup(dtype_name, use_pallas, s2d=s2d)
     sampler = proc.sampler()
     key = jax.random.PRNGKey(1)
-    x_T = jax.device_put(jax.random.normal(jax.random.PRNGKey(2), (BATCH, HR_SIZE, HR_SIZE, 3)), dev)
-    cond = jax.device_put(jax.random.uniform(jax.random.PRNGKey(3), (BATCH, LR_SIZE, LR_SIZE, 3)), dev)
+    x_T = jax.device_put(jax.random.normal(jax.random.PRNGKey(2), (batch, HR_SIZE, HR_SIZE, 3)), dev)
+    cond = jax.device_put(jax.random.uniform(jax.random.PRNGKey(3), (batch, LR_SIZE, LR_SIZE, 3)), dev)
     jax.block_until_ready(sampler(variables, key, x_T, cond))
     # second warmup: the first executions of a fresh executable through the
     # remote tunnel run measurably slower (same effect as bench_train)
@@ -87,16 +87,16 @@ def bench_denoise(dtype_name: str = "bf16", use_pallas: bool = False, reps: int 
         jax.block_until_ready(sampler(variables, jax.random.fold_in(key, i), x_T, cond))
         dt = min(dt, time.perf_counter() - t0)
     return {
-        "unet_forwards_per_sec": BATCH * (T - 1) / dt,
-        "images_per_sec": BATCH / dt,
+        "unet_forwards_per_sec": batch * (T - 1) / dt,
+        "images_per_sec": batch / dt,
         "seconds_per_sample_batch": dt,
-        "config": f"HR{HR_SIZE} x{MAG} T{T} B{BATCH} {dtype_name}"
+        "config": f"HR{HR_SIZE} x{MAG} T{T} B{batch} {dtype_name}"
         + (" pallas" if use_pallas else "")
         + (" s2d" if s2d else ""),
     }
 
 
-def bench_aggregation(dtype_name: str = "bf16", tile_lr: int = 128):
+def bench_aggregation(dtype_name: str = "bf16", tile_lr: int = 128, batch: int = BATCH):
     """Full-tile SR via aggregation sampling: LR tile -> HR, patches/sec."""
     import jax
 
@@ -105,7 +105,7 @@ def bench_aggregation(dtype_name: str = "bf16", tile_lr: int = 128):
     _, variables, proc, dev = _tpu_setup(dtype_name, False)
     agg = AggregationSampler(
         proc, patch_size=LR_SIZE, stride=LR_SIZE // 2, magnification_factor=MAG,
-        batch_size=BATCH,
+        batch_size=batch,
     )
     img = np.random.default_rng(0).random((tile_lr, tile_lr, 3)).astype(np.float32)
     n_patches = len(agg.extract_patches(img)[1])
@@ -281,14 +281,12 @@ def main():
                              "config and bench_train its own (see each "
                              "section's config string)")
     args = parser.parse_args()
-    globals()["BATCH"] = args.batch
 
     import jax
 
-    # honor DRS_FORCE_CPU=1 like the training/inference CLIs (the pinned
-    # remote-TPU platform ignores JAX_PLATFORMS env overrides)
-    if os.environ.get("DRS_FORCE_CPU"):
-        jax.config.update("jax_platforms", "cpu")
+    from diffusionremotesensing_tpu.utils import force_cpu_if_requested
+
+    force_cpu_if_requested()
 
     # machine-scoped cache dir (same rationale as bench.py: a persistent
     # cache written on another host emits spurious XLA:CPU AOT
@@ -305,9 +303,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     report = {"device": str(jax.devices()[0])}
-    report["denoise"] = bench_denoise(args.dtype)
+    report["denoise"] = bench_denoise(args.dtype, batch=args.batch)
     if not args.quick:
-        report["aggregation"] = bench_aggregation(args.dtype)
+        report["aggregation"] = bench_aggregation(args.dtype, batch=args.batch)
         report["northstar_tile"] = bench_northstar_tile()
         report["train"] = bench_train()
     report["torch_baseline"] = bench_torch_baseline()

@@ -491,14 +491,9 @@ def evaluate_gen(snapshot: str, n_per_class: int = 32, noise_steps: int = 1500,
 
 
 def main():
-    # honor DRS_FORCE_CPU=1 like the training/inference CLIs
-    # (cli._configure_platform): the sitecustomize-pinned remote-TPU
-    # platform ignores JAX_PLATFORMS env overrides, so CI/smoke runs need
-    # the config-level override before any jax backend init.
-    if os.environ.get("DRS_FORCE_CPU"):
-        import jax
+    from diffusionremotesensing_tpu.utils import force_cpu_if_requested
 
-        jax.config.update("jax_platforms", "cpu")
+    force_cpu_if_requested()
     p = argparse.ArgumentParser()
     p.add_argument("--prepare", type=str, default=None, metavar="DIR")
     p.add_argument("--evaluate", type=str, default=None, metavar="DIR")

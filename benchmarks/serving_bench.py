@@ -162,10 +162,9 @@ def main():
     ap.add_argument("--ddim_steps", type=int, default=100,
                     help="step count for the DDIM config (smoke: 3)")
     args = ap.parse_args()
-    if os.environ.get("DRS_FORCE_CPU"):
-        import jax
+    from diffusionremotesensing_tpu.utils import force_cpu_if_requested
 
-        jax.config.update("jax_platforms", "cpu")
+    force_cpu_if_requested()
     print(json.dumps(bench(args.max_batch, args.quick, args.ddim_steps)))
 
 

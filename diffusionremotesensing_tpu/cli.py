@@ -37,8 +37,9 @@ def _configure_platform() -> None:
     machine-scoped for the same reason."""
     import jax
 
-    if os.environ.get("DRS_FORCE_CPU"):
-        jax.config.update("jax_platforms", "cpu")
+    from diffusionremotesensing_tpu.utils import force_cpu_if_requested
+
+    if force_cpu_if_requested():
         if os.environ.get("DRS_CPU_COMPILE_CACHE"):
             # Opt-in (the test suite sets it): persistent cache for CPU
             # smoke runs — the CLI subprocess tests otherwise each pay a
@@ -665,6 +666,18 @@ def launch_aggregation(args) -> None:
         if not dest_dir:
             raise ValueError("--img_lr_dir needs --destination_dir (or --destination_path) for the outputs")
         os.makedirs(dest_dir, exist_ok=True)
+        # outputs are always PNG: keeping a .jpg input's extension would
+        # re-encode the super-resolved result with lossy JPEG. Stems that
+        # collide across extensions (scene1.jpg + scene1.png) keep their full
+        # basename so neither output silently overwrites the other.
+        stems = [os.path.splitext(os.path.basename(p))[0] for p in paths]
+        dest_names = [
+            os.path.join(
+                dest_dir,
+                (s if stems.count(s) == 1 else os.path.basename(p)) + ".png",
+            )
+            for p, s in zip(paths, stems)
+        ]
     else:
         paths = [args.img_lr_path]
         dest_dir = None
@@ -707,13 +720,8 @@ def launch_aggregation(args) -> None:
         key = jax.random.fold_in(jax.random.PRNGKey(0), i) if img_dir else None
         out = sampler(variables, arr, key=key)
         if dest_dir is not None:
-            # always PNG: keeping a .jpg input's extension would re-encode
-            # the super-resolved output with lossy JPEG, silently discarding
-            # the quality the sampler just produced
-            stem = os.path.splitext(os.path.basename(path))[0]
-            dest = os.path.join(dest_dir, stem + ".png")
-            save_image(out, dest)
-            print(f"[{i + 1}/{len(paths)}] {path} -> {dest}")
+            save_image(out, dest_names[i])
+            print(f"[{i + 1}/{len(paths)}] {path} -> {dest_names[i]}")
         else:
             save_image(out, args.destination_path)
 

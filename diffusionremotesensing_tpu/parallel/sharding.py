@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -114,6 +115,12 @@ def global_replicated(x, mesh: Mesh):
     ``--multiple_gpus`` multi-host runs (round-2 VERDICT weak #1).
     """
     sh = replicated_sharding(mesh)
+    if jnp.issubdtype(jnp.asarray(x).dtype, jax.dtypes.prng_key):
+        # new-style typed PRNG keys reject np.asarray; replicate the raw key
+        # bits and re-wrap so callers may pass jax.random.key() keys too
+        impl = jax.random.key_impl(x)
+        bits = global_replicated(jax.random.key_data(x), mesh)
+        return jax.random.wrap_key_data(bits, impl=impl)
     arr = np.asarray(x)
     if jax.process_count() > 1:
         return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])

@@ -106,6 +106,14 @@ class InferenceServer:
 
     task: 'superres' | 'sar' (condition = image) | 'generation' (condition =
     int label; CFG scale 3 like the reference).
+
+    Value ranges: image conditions arrive as PNG, which decodes to [0, 1] —
+    exactly the range the models are TRAINED on, including SAR: the dataset
+    maps raw [-1, 1] SAR to [0, 1] before the model (datasets.SarToNdviDataset,
+    reference utils.py:87-89), and the reference inference helper does the
+    same rescale (superres_and_NDVIgen.py:114-115). Clients holding raw
+    [-1, 1] SAR arrays encode them to PNG ((x+1)/2 * 255), which lands them
+    in the trained range automatically.
     """
 
     def __init__(

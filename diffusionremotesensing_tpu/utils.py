@@ -27,6 +27,7 @@ __all__ = [
     "save_image",
     "save_preview_grid",
     "machine_scoped_cache_dir",
+    "force_cpu_if_requested",
 ]
 
 
@@ -196,6 +197,21 @@ def save_preview_grid(
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     fig.savefig(path)
     plt.close(fig)
+
+
+def force_cpu_if_requested() -> bool:
+    """Honor ``DRS_FORCE_CPU=1``: the container's sitecustomize pins the
+    remote-TPU platform and IGNORES ``JAX_PLATFORMS`` env overrides, so
+    CI/smoke runs need the config-level override before any jax backend
+    init. One shared implementation for every benchmark/CLI entry point
+    (cli._configure_platform layers the compile-cache policy on top).
+    Returns True when CPU was forced."""
+    if not os.environ.get("DRS_FORCE_CPU"):
+        return False
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    return True
 
 
 def machine_scoped_cache_dir() -> str:

@@ -146,6 +146,10 @@ def test_aggregation_cli_with_trained_snapshot(workdir):
     Image.open(os.path.join(workdir, "lr_many", "img_2.png")).save(
         os.path.join(workdir, "lr_many", "img_3.jpg")
     )
+    # stem collision across extensions: neither output may overwrite the other
+    Image.open(os.path.join(workdir, "lr_many", "img_1.png")).save(
+        os.path.join(workdir, "lr_many", "img_2.jpg")
+    )
     _run(
         "Aggregation_Sampling.py",
         [
@@ -158,7 +162,9 @@ def test_aggregation_cli_with_trained_snapshot(workdir):
         workdir,
     )
     outs = sorted(os.listdir(os.path.join(workdir, "sr_many")))
-    assert outs == ["img_0.png", "img_1.png", "img_2.png", "img_3.png"]
+    assert outs == [
+        "img_0.png", "img_1.png", "img_2.jpg.png", "img_2.png.png", "img_3.png",
+    ]
     arrs = [
         np.asarray(Image.open(os.path.join(workdir, "sr_many", f))) for f in outs
     ]

@@ -304,3 +304,35 @@ def test_tap44_stem_kernel_under_batch_sharded_mesh():
     ref = np.asarray(make_process(m0, "cosine", 4, 32).sampler()(v, key, xT, cond))
     got = np.asarray(make_process(m1, "cosine", 4, 32).sampler()(v, key, xT, cond))
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_global_replicated_accepts_typed_and_raw_keys():
+    """global_replicated must handle new-style typed PRNG keys (np.asarray
+    rejects them) as well as raw uint32 keys and plain arrays — callers of
+    DiffusionProcess.sample(mesh=...) may pass jax.random.key() keys."""
+    from diffusionremotesensing_tpu.parallel.sharding import global_replicated
+
+    mesh = make_mesh()
+    typed = global_replicated(jax.random.key(7), mesh)
+    assert jnp.issubdtype(typed.dtype, jax.dtypes.prng_key)
+    assert typed.sharding.is_fully_replicated
+    raw = global_replicated(jax.random.PRNGKey(7), mesh)
+    # same key stream regardless of wrapper type
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(typed)), np.asarray(raw)
+    )
+    a = global_replicated(np.arange(12.0).reshape(3, 4), mesh)
+    assert a.sharding.is_fully_replicated
+    # and the mesh sampling path accepts a typed key end to end
+    from diffusionremotesensing_tpu.diffusion import make_process
+    from diffusionremotesensing_tpu.models.unet import (
+        init_unet_params,
+        residual_attention_unet_superres,
+    )
+
+    model = residual_attention_unet_superres(magnification_factor=2)
+    v = init_unet_params(model, jax.random.PRNGKey(0), image_size=16)
+    proc = make_process(model, "cosine", 3, 16)
+    cond = jax.random.uniform(jax.random.PRNGKey(1), (2, 8, 8, 3))
+    out = proc.sample(v, jax.random.key(5), n=2, cond=cond, mesh=mesh)
+    assert np.asarray(out).shape == (2, 16, 16, 3)
