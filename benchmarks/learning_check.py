@@ -422,7 +422,9 @@ def _color_diversity(imgs: np.ndarray, labels: np.ndarray, n_classes: int) -> fl
 
 
 def evaluate_gen(snapshot: str, n_per_class: int = 32, noise_steps: int = 1500,
-                 cfg_scale: float = 3.0):
+                 cfg_scale: float = 3.0, ddim_steps: int | None = None,
+                 ddim_eta: float = 0.0, ddim_spacing: str = "linear",
+                 ddim_clip_x0: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -437,10 +439,12 @@ def evaluate_gen(snapshot: str, n_per_class: int = 32, noise_steps: int = 1500,
         **_kernel_kwargs(),
     )
     proc = make_process(model, "cosine", noise_steps, GEN_SIZE)
+    ddim_kw = dict(ddim_steps=ddim_steps, ddim_eta=ddim_eta,
+                   ddim_spacing=ddim_spacing, ddim_clip_x0=ddim_clip_x0)
     labels = np.repeat(np.arange(len(GEN_CLASSES)), n_per_class).astype(np.int32)
     out = proc.sample(
         variables, jax.random.PRNGKey(11), len(labels),
-        cond=jnp.asarray(labels), cfg_scale=cfg_scale,
+        cond=jnp.asarray(labels), cfg_scale=cfg_scale, **ddim_kw,
     )
     imgs = np.clip(np.asarray(out), 0.0, 1.0)
     pred = classify_by_pattern(imgs)
@@ -458,7 +462,7 @@ def evaluate_gen(snapshot: str, n_per_class: int = 32, noise_steps: int = 1500,
     # collapse this gate exists to catch.
     out_nc = proc.sample(
         variables, jax.random.PRNGKey(13), len(labels),
-        cond=jnp.asarray(labels), cfg_scale=1.0,
+        cond=jnp.asarray(labels), cfg_scale=1.0, **ddim_kw,
     )
     imgs_nc = np.clip(np.asarray(out_nc), 0.0, 1.0)
     rng = np.random.default_rng(23)
@@ -475,7 +479,9 @@ def evaluate_gen(snapshot: str, n_per_class: int = 32, noise_steps: int = 1500,
     )
     summary = {
         "snapshot": snapshot,
-        "sampler": f"DDPM T={noise_steps}, CFG {cfg_scale}",
+        "sampler": _sampler_label(ddim_steps, noise_steps, ddim_eta,
+                                  ddim_spacing, ddim_clip_x0)
+                   + f", CFG {cfg_scale}",
         "accuracy": acc,
         "chance": 1.0 / len(GEN_CLASSES),
         "per_class_accuracy": per_class,
@@ -542,7 +548,10 @@ def main():
         prepare_gen(args.prepare_gen)
     if args.evaluate_gen:
         assert args.snapshot, "--evaluate_gen needs --snapshot"
-        evaluate_gen(args.snapshot, noise_steps=args.noise_steps)
+        evaluate_gen(args.snapshot, noise_steps=args.noise_steps,
+                     ddim_steps=args.ddim_steps, ddim_eta=args.ddim_eta,
+                     ddim_spacing=args.ddim_spacing,
+                     ddim_clip_x0=args.ddim_clip_x0)
 
 
 if __name__ == "__main__":

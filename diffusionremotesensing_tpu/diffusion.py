@@ -496,6 +496,10 @@ class DiffusionProcess:
         cfg_scale: Optional[float] = None,
         capture_frames: bool = False,
         mesh=None,
+        ddim_steps: Optional[int] = None,
+        ddim_eta: float = 0.0,
+        ddim_spacing: str = "linear",
+        ddim_clip_x0: bool = True,
     ):
         """Generate n images; mirrors the reference's Diffusion.sample.
 
@@ -509,6 +513,15 @@ class DiffusionProcess:
         lockstep key discipline — Trainer.next_key advances uniformly).
         Without this, x_T would be a process-local committed array that the
         global jit rejects (multi-host) or that breaks device consistency.
+
+        ``ddim_steps``: framework addition with no reference counterpart —
+        when set, sampling runs the DDIM subsequence sampler
+        (``ddim_sampler``) with that many model evaluations instead of the
+        reference's T-1 ancestral steps; the remaining ddim_* kwargs mirror
+        the Aggregation_Sampling CLI flags (clip_x0 defaults to the
+        measured-best configuration, benchmarks/NOTES.md round-3). The
+        default (None) is the reference ancestral path, bit-identical to
+        before this kwarg existed.
         """
         key, k_init = jax.random.split(jnp.asarray(key))
         x_T = jax.random.normal(
@@ -527,4 +540,20 @@ class DiffusionProcess:
             key = global_replicated(key, mesh)
             if cond is not None:
                 cond = global_replicated(cond, mesh)
-        return self.sampler(cfg_scale, capture_frames)(variables, key, x_T, cond)
+        if ddim_steps is not None:
+            if capture_frames:
+                raise ValueError(
+                    "capture_frames is only supported by the ancestral "
+                    "sampler (ddim_steps=None); the DDIM scan does not "
+                    "record per-step frames"
+                )
+            fn = self.ddim_sampler(
+                ddim_steps,
+                eta=ddim_eta,
+                cfg_scale=cfg_scale,
+                tau_spacing=ddim_spacing,
+                clip_x0=ddim_clip_x0,
+            )
+        else:
+            fn = self.sampler(cfg_scale, capture_frames)
+        return fn(variables, key, x_T, cond)

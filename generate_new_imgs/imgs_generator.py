@@ -13,8 +13,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np  # noqa: E402
 
 
-def main(s2d: bool = True):
-    """s2d=False selects the bit-reference inference path (PARITY.md)."""
+def main(s2d: bool = True, ddim_steps=None, ddim_clip_x0: bool = True):
+    """s2d=False selects the bit-reference inference path (PARITY.md).
+
+    ``ddim_steps``/``ddim_clip_x0``: optional DDIM fast path (framework
+    addition); default None keeps the reference's 1499-step sampler."""
     import jax
     import matplotlib
 
@@ -55,7 +58,8 @@ def main(s2d: bool = True):
     # generate_new_imgs/train_diffusion_generation.py:206)
     labels = np.arange(len(classes), dtype=np.int32)
     preds = np.clip(
-        np.asarray(proc.sample(variables, jax.random.PRNGKey(0), n=len(classes), cond=labels, cfg_scale=3.0)),
+        np.asarray(proc.sample(variables, jax.random.PRNGKey(0), n=len(classes), cond=labels, cfg_scale=3.0,
+                               ddim_steps=ddim_steps, ddim_clip_x0=ddim_clip_x0)),
         0, 1,
     )
 

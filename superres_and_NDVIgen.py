@@ -47,12 +47,17 @@ def _load_variables(model_name: str, device=None):
 
 
 def super_resolver(lr_img: np.ndarray, device=None, model_name: str = "", key=None,
-                   s2d: bool = True):
+                   s2d: bool = True, ddim_steps: Optional[int] = None,
+                   ddim_clip_x0: bool = True):
     """Super-resolve a single LR image (H, W, C) with the named checkpoint.
 
     model_name must contain 'magnificationN' and 'LRimgsizeN' parts, e.g.
     'Residual_Attention_UNet_superres_magnification2_LRimgsize128_up42_...'.
     Returns the (H*mag, W*mag, C) image clamped to [0, 1].
+
+    ``ddim_steps``/``ddim_clip_x0``: optional framework addition (no
+    reference counterpart) selecting the DDIM fast sampler; default None
+    keeps the reference's 1499-step ancestral path exactly.
     """
     import jax
 
@@ -82,14 +87,19 @@ def super_resolver(lr_img: np.ndarray, device=None, model_name: str = "", key=No
     )
     variables = _load_variables(model_name, device)
     proc = make_process(model, "cosine", 1500, image_size)
-    out = proc.sample(variables, key or jax.random.PRNGKey(0), n=1, cond=lr_img)
+    out = proc.sample(variables, key or jax.random.PRNGKey(0), n=1, cond=lr_img,
+                      ddim_steps=ddim_steps, ddim_clip_x0=ddim_clip_x0)
     return np.clip(np.asarray(out)[0], 0.0, 1.0)
 
 
 def SAR_to_NDVI_generator(SAR_img_path: str, device=None, n_generations: int = 1, key=None,
-                          s2d: bool = True):
+                          s2d: bool = True, ddim_steps: Optional[int] = None,
+                          ddim_clip_x0: bool = True):
     """Generate NDVI image(s) from a SAR tensor file with the shipped
-    'Residual_Attention_UNet_EMA_imgsize128_SAR_TO_NDVI' checkpoint."""
+    'Residual_Attention_UNet_EMA_imgsize128_SAR_TO_NDVI' checkpoint.
+
+    ``ddim_steps``/``ddim_clip_x0``: optional DDIM fast path (framework
+    addition); default None keeps the reference ancestral sampler."""
     import jax
 
     from diffusionremotesensing_tpu.diffusion import make_process
@@ -122,7 +132,8 @@ def SAR_to_NDVI_generator(SAR_img_path: str, device=None, n_generations: int = 1
     )
     variables = _load_variables(model_name, device)
     proc = make_process(model, "cosine", 1500, image_size)
-    out = proc.sample(variables, key or jax.random.PRNGKey(0), n=n_generations, cond=sar)
+    out = proc.sample(variables, key or jax.random.PRNGKey(0), n=n_generations, cond=sar,
+                      ddim_steps=ddim_steps, ddim_clip_x0=ddim_clip_x0)
     return np.asarray(out)
 
 

@@ -111,3 +111,59 @@ def test_sar_to_ndvi_generator_end_to_end(tmp_path, monkeypatch):
     out = mod.SAR_to_NDVI_generator(os.path.join(str(tmp_path), "sar.npy"))
     assert out.shape == (1, 16, 16, 1)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_process_sample_ddim_routing():
+    """DiffusionProcess.sample(ddim_steps=N) must produce exactly the
+    ddim_sampler output (same key split as the ancestral path), and reject
+    capture_frames (the DDIM scan records no frames)."""
+    from diffusionremotesensing_tpu.diffusion import make_process
+    from diffusionremotesensing_tpu.models.unet import (
+        init_unet_params,
+        residual_attention_unet_superres,
+    )
+
+    sr = residual_attention_unet_superres(magnification_factor=2)
+    proc = make_process(sr, "cosine", 12, 16)
+    v = init_unet_params(sr, jax.random.PRNGKey(0), image_size=16)
+    cond = jnp.linspace(0, 1, 8 * 8 * 3).reshape(8, 8, 3)
+
+    key = jax.random.PRNGKey(7)
+    out = proc.sample(v, key, n=2, cond=cond, ddim_steps=4)
+
+    # reproduce by hand: sample() splits (key, k_init) and builds x_T from
+    # k_init, then calls the cached ddim sampler with the remaining key
+    k2, k_init = jax.random.split(key)
+    x_T = jax.random.normal(k_init, (2, 16, 16, 3))
+    ref = proc.ddim_sampler(4, clip_x0=True)(
+        v, k2, x_T, jnp.broadcast_to(cond[None], (2, 8, 8, 3))
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    # ancestral default is untouched by the new kwargs
+    anc = proc.sample(v, key, n=2, cond=cond)
+    assert not np.array_equal(np.asarray(anc), np.asarray(out))
+
+    with pytest.raises(ValueError, match="capture_frames"):
+        proc.sample(v, key, n=1, cond=cond, ddim_steps=4, capture_frames=True)
+
+
+def test_super_resolver_ddim_fast_path(tmp_path, monkeypatch):
+    """super_resolver(ddim_steps=...) drives the DDIM sampler through the
+    checkpoint-driven helper; default (None) stays the ancestral path."""
+    from diffusionremotesensing_tpu.models.unet import residual_attention_unet_superres
+    from superres_and_NDVIgen import super_resolver
+
+    name = "Residual_Attention_UNet_superres_magnification2_LRimgsize8_test"
+    _tiny_snapshot(tmp_path, name,
+                   residual_attention_unet_superres(magnification_factor=2), 16)
+    monkeypatch.chdir(tmp_path)
+    _short_T(monkeypatch)
+
+    lr = np.random.default_rng(1).random((8, 8, 3)).astype(np.float32)
+    out_ddim = super_resolver(lr, model_name=name, ddim_steps=3)
+    out_anc = super_resolver(lr, model_name=name)
+    assert out_ddim.shape == (16, 16, 3)
+    assert np.isfinite(out_ddim).all()
+    assert out_ddim.min() >= 0.0 and out_ddim.max() <= 1.0
+    assert not np.array_equal(out_ddim, out_anc)
