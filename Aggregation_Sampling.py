@@ -56,6 +56,13 @@ if __name__ == "__main__":
                         help="clamp the per-step DDIM x0 prediction to [0,1] "
                              "(default on: +2.1 dB / +0.027 SSIM at DDIM-100 on "
                              "the learning-gate model; --ddim_clip_x0 false disables)")
+    parser.add_argument("--start_t", type=int, default=None,
+                        help="truncated warm-start sampling (SDEdit/CCDF): each "
+                             "patch starts from its q-sampled bicubic upsample "
+                             "at this timestep instead of pure noise at T-1, so "
+                             "only start_t reverse steps run (DDIM subsequences "
+                             "squeeze into [1, start_t]). Quality/speed curve in "
+                             "benchmarks/NOTES.md; unset = reference full chain")
     parser.add_argument("--s2d", type=str2bool, nargs="?", const=True, default=True,
                         help="space-to-depth inference execution (exact math, faster on TPU); --s2d false disables")
     parser.add_argument("--tap44", type=str, default="auto",

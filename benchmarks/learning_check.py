@@ -137,11 +137,13 @@ def _fused_update_env(ddim_steps) -> bool:
     return on
 
 
-def _sampler_label(ddim_steps, noise_steps, eta, spacing, clip_x0) -> str:
+def _sampler_label(ddim_steps, noise_steps, eta, spacing, clip_x0,
+                   start_t=None) -> str:
+    trunc = f" start_t={start_t}" if start_t else ""
     if not ddim_steps:
-        return f"DDPM T={noise_steps}"
+        return f"DDPM T={noise_steps}{trunc}"
     return (f"DDIM-{ddim_steps} eta={eta} {spacing}"
-            + (" clip_x0" if clip_x0 else ""))
+            + (" clip_x0" if clip_x0 else "") + trunc)
 
 
 def _load_eval_variables(snapshot: str):
@@ -161,7 +163,8 @@ def _load_eval_variables(snapshot: str):
 def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int = 1500,
              ddim_eta: float = 0.0, ddim_spacing: str = "linear",
              ddim_clip_x0: bool = True, mag: int = MAG,
-             eval_patch: int | None = None, eval_stride: int | None = None):
+             eval_patch: int | None = None, eval_stride: int | None = None,
+             start_t: int | None = None):
     import jax
     import jax.numpy as jnp
     from PIL import Image
@@ -195,6 +198,7 @@ def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int 
         # equivalence must be demonstrated here before any adoption
         # (hard error under --ddim_steps, where it would be a silent no-op)
         fused_update=_fused_update_env(ddim_steps),
+        start_t=start_t,
     )
 
     rows = []
@@ -232,8 +236,9 @@ def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int 
         "patch_size": patch,
         "stride": stride,
         "sampler": _sampler_label(ddim_steps, noise_steps, ddim_eta,
-                                  ddim_spacing, ddim_clip_x0),
+                                  ddim_spacing, ddim_clip_x0, start_t),
         "quant": "int8" if quant else "none",
+        "start_t": start_t,
         "tiles": rows,
         "mean_sr_psnr_db": float(np.mean([r["sr_psnr_db"] for r in rows])),
         "mean_bicubic_psnr_db": float(np.mean([r["bicubic_psnr_db"] for r in rows])),
@@ -528,6 +533,10 @@ def main():
     p.add_argument("--magnification", type=int, default=MAG,
                    help="SR factor of the snapshot under --evaluate (the "
                         "gate's eval tiles are degraded by the same factor)")
+    p.add_argument("--start_t", type=int, default=None,
+                   help="truncated warm-start sampling for --evaluate: "
+                        "patches start from their q-sampled bicubic upsample "
+                        "at this timestep (Aggregation_Sampling --start_t)")
     args = p.parse_args()
     if args.prepare:
         prepare(args.prepare)
@@ -538,7 +547,8 @@ def main():
         evaluate(args.evaluate, args.snapshot, args.ddim_steps, args.noise_steps,
                  ddim_eta=args.ddim_eta, ddim_spacing=args.ddim_spacing,
                  ddim_clip_x0=args.ddim_clip_x0, mag=args.magnification,
-                 eval_patch=args.eval_patch, eval_stride=args.eval_stride)
+                 eval_patch=args.eval_patch, eval_stride=args.eval_stride,
+                 start_t=args.start_t)
     if args.evaluate_sar:
         assert args.snapshot, "--evaluate_sar needs --snapshot"
         evaluate_sar(args.evaluate_sar, args.snapshot, args.ddim_steps, args.noise_steps,

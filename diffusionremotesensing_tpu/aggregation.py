@@ -122,6 +122,11 @@ class AggregationSampler:
         # TPU-only). Same noise distribution, different stream than the
         # threefry path -> opt-in, default OFF (repo invariant)
         fused_update: bool = False,
+        # truncated warm-start sampling (SDEdit/CCDF; diffusion.make_sampler):
+        # each patch starts from its q-sampled bicubic upsample at t=start_t
+        # and only start_t reverse steps run (DDIM subsequences squeeze into
+        # [1, start_t]). Framework addition, default OFF = reference chain.
+        start_t: Optional[int] = None,
     ):
         assert stride <= patch_size
         if fused_update and ddim_steps is not None:
@@ -143,6 +148,7 @@ class AggregationSampler:
         self.ddim_spacing = ddim_spacing
         self.ddim_clip_x0 = ddim_clip_x0
         self.fused_update = fused_update
+        self.start_t = start_t
         self.n_devices = mesh.devices.size if mesh is not None else 1
         hr = patch_size * magnification_factor
         self.weight = gaussian_weights(hr, hr)  # (hr, hr)
@@ -169,9 +175,12 @@ class AggregationSampler:
             sampler = self.process.ddim_sampler(
                 self.ddim_steps, self.ddim_eta,
                 tau_spacing=self.ddim_spacing, clip_x0=self.ddim_clip_x0,
+                start_t=self.start_t,
             )
         else:
-            sampler = self.process.sampler(fused_update=self.fused_update)
+            sampler = self.process.sampler(
+                fused_update=self.fused_update, start_t=self.start_t
+            )
         chunk = self._chunk()
         n = patches.shape[0]
         hr = self.patch_size * self.mag
@@ -209,7 +218,19 @@ class AggregationSampler:
                     [block, patches[np.arange(size - block.shape[0]) % n]], axis=0
                 )
             cond = jnp.asarray(block)
-            x_T = jax.random.normal(k_init, (size, hr, hr, patches.shape[-1]))
+            if self.start_t is not None:
+                from diffusionremotesensing_tpu.diffusion import warm_start_state
+                from diffusionremotesensing_tpu.ops.resize import upsample_bicubic
+
+                # warm start: q-sample each patch's bicubic upsample (the
+                # same torch-parity resize the model's cond stem uses) to
+                # t=start_t instead of drawing pure noise at t=T-1
+                init = upsample_bicubic(cond, self.mag)
+                x_T = warm_start_state(
+                    self.process.schedule, init, self.start_t, k_init
+                )
+            else:
+                x_T = jax.random.normal(k_init, (size, hr, hr, patches.shape[-1]))
             if self.mesh is not None:
                 cond = jax.device_put(cond, bs)
                 x_T = jax.device_put(x_T, bs)

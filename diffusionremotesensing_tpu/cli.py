@@ -700,6 +700,7 @@ def launch_aggregation(args) -> None:
         ddim_spacing=getattr(args, "ddim_spacing", "linear"),
         ddim_clip_x0=getattr(args, "ddim_clip_x0", True),
         fused_update=getattr(args, "fused_update", False),
+        start_t=getattr(args, "start_t", None),
     )
     for i, path in enumerate(paths):
         arr = _load_lr(path)
@@ -842,6 +843,7 @@ def build_server(args):
         ddim_clip_x0=getattr(args, "ddim_clip_x0", True),
         seed=seed,
         mesh=mesh,
+        start_t=getattr(args, "start_t", None),
     )
 
 

@@ -40,6 +40,7 @@ __all__ = [
     "sample_timesteps",
     "ddpm_step",
     "make_sampler",
+    "warm_start_state",
     "DiffusionProcess",
 ]
 
@@ -119,6 +120,7 @@ def make_sampler(
     prepare_fn: Optional[Callable] = None,
     state_codec: Optional[tuple] = None,
     fused_update: bool = False,
+    start_t: Optional[int] = None,
 ):
     """Build a jittable ancestral sampler closed over the model apply fn.
 
@@ -144,12 +146,21 @@ def make_sampler(
     the default path, hence default OFF (repo invariant: behavior-changing
     additions are opt-in).
 
+    ``start_t`` truncates the chain (warm-start sampling, a framework
+    addition — SDEdit, arXiv:2108.01073 / CCDF, arXiv:2112.05146): the scan
+    runs start_t..1 instead of T-1..1 and the caller passes x at t=start_t
+    (typically a q-sampled cheap reconstruction, e.g. the bicubic upsample
+    for super-resolution). Default None is the reference full chain.
+
     Returns sample(variables, key, x_T, cond) -> x0 (or (x0, frames) when
-    ``capture_frames``; frames has shape (T-1, B, H, W, C) — the denoising
-    trajectory used by the reference's video/GIF export).
+    ``capture_frames``; frames has shape (start_t, B, H, W, C) — the
+    denoising trajectory used by the reference's video/GIF export).
     """
     T = schedule.noise_steps
-    ts = jnp.arange(T - 1, 0, -1)
+    t_start = T - 1 if start_t is None else int(start_t)
+    if not 1 <= t_start <= T - 1:
+        raise ValueError(f"start_t must be in [1, {T - 1}], got {start_t}")
+    ts = jnp.arange(t_start, 0, -1)
     enc, dec = state_codec if state_codec is not None else (None, None)
 
     def sample(variables, key: jax.Array, x_T: jnp.ndarray, cond=None):
@@ -240,6 +251,7 @@ def make_ddim_sampler(
     encode_cond_fn: Optional[Callable] = None,
     prepare_fn: Optional[Callable] = None,
     state_codec: Optional[tuple] = None,
+    start_t: Optional[int] = None,
 ):
     """DDIM sampler (Song et al., arXiv:2010.02502) over a strided timestep
     subsequence — a framework addition beyond the reference (which only has
@@ -255,15 +267,22 @@ def make_ddim_sampler(
     superres_and_NDVIgen.py:49); at few steps an out-of-range x0_pred
     otherwise feeds visible artifacts back through the update.
 
+    ``start_t`` truncates the subsequence to [1, start_t] (warm-start
+    sampling, see make_sampler): the caller passes x at t=start_t instead of
+    pure noise at T-1. Default None spans the full [1, T).
+
     Returns sample(variables, key, x_T, cond) -> x0.
     """
     T = schedule.noise_steps
-    # strided subsequence of [1, T), descending; pair each t with its
+    t_start = T - 1 if start_t is None else int(start_t)
+    if not 1 <= t_start <= T - 1:
+        raise ValueError(f"start_t must be in [1, {T - 1}], got {start_t}")
+    # strided subsequence of [1, t_start], descending; pair each t with its
     # predecessor in the subsequence (0 terminates, where alpha_hat -> 1)
     if tau_spacing == "quadratic":
-        grid = np.linspace(1.0, np.sqrt(T - 1), num_steps) ** 2
+        grid = np.linspace(1.0, np.sqrt(t_start), num_steps) ** 2
     elif tau_spacing == "linear":
-        grid = np.linspace(1, T - 1, num_steps)
+        grid = np.linspace(1, t_start, num_steps)
     else:
         raise ValueError(f"tau_spacing must be linear|quadratic, got {tau_spacing!r}")
     taus = jnp.asarray(np.unique(grid.round().astype(np.int64))[::-1].copy())
@@ -337,6 +356,20 @@ def make_ddim_sampler(
         return dec(x) if dec is not None else x
 
     return sample
+
+
+def warm_start_state(
+    schedule: Schedule, init: jnp.ndarray, start_t: int, key: jax.Array
+) -> jnp.ndarray:
+    """q-sample a cheap reconstruction to t=start_t: the warm-start state for
+    truncated sampling (SDEdit arXiv:2108.01073 eq. 2 / CCDF arXiv:2112.05146).
+
+    init: (B, H, W, C) in the data range (e.g. a bicubic upsample for SR).
+    Returns x_{start_t} = sqrt(alpha_hat_t) init + sqrt(1 - alpha_hat_t) eps.
+    """
+    ah = schedule.alpha_hat[start_t]
+    eps = _normal_packed(key, init.shape, init.dtype)
+    return jnp.sqrt(ah) * init + jnp.sqrt(1.0 - ah) * eps
 
 
 def make_process(
@@ -444,9 +477,10 @@ class DiffusionProcess:
         cfg_scale: Optional[float] = None,
         capture_frames: bool = False,
         fused_update: bool = False,
+        start_t: Optional[int] = None,
     ):
         """Return the jitted sampler for the given CFG/frames configuration."""
-        cache_key = (cfg_scale, capture_frames, fused_update)
+        cache_key = (cfg_scale, capture_frames, fused_update, start_t)
         if cache_key not in self._samplers:
             fn = make_sampler(
                 self.apply_fn,
@@ -457,6 +491,7 @@ class DiffusionProcess:
                 prepare_fn=self.prepare_fn,
                 state_codec=self.state_codec,
                 fused_update=fused_update,
+                start_t=start_t,
             )
             self._samplers[cache_key] = jax.jit(fn)
         return self._samplers[cache_key]
@@ -468,9 +503,11 @@ class DiffusionProcess:
         cfg_scale: Optional[float] = None,
         tau_spacing: str = "linear",
         clip_x0: bool = False,
+        start_t: Optional[int] = None,
     ):
         """Jitted DDIM sampler with ``num_steps`` model evaluations."""
-        cache_key = ("ddim", num_steps, eta, cfg_scale, tau_spacing, clip_x0)
+        cache_key = ("ddim", num_steps, eta, cfg_scale, tau_spacing, clip_x0,
+                     start_t)
         if cache_key not in self._samplers:
             fn = make_ddim_sampler(
                 self.apply_fn,
@@ -483,6 +520,7 @@ class DiffusionProcess:
                 encode_cond_fn=self.encode_cond_fn,
                 prepare_fn=self.prepare_fn,
                 state_codec=self.state_codec,
+                start_t=start_t,
             )
             self._samplers[cache_key] = jax.jit(fn)
         return self._samplers[cache_key]
@@ -500,6 +538,8 @@ class DiffusionProcess:
         ddim_eta: float = 0.0,
         ddim_spacing: str = "linear",
         ddim_clip_x0: bool = True,
+        start_t: Optional[int] = None,
+        init=None,
     ):
         """Generate n images; mirrors the reference's Diffusion.sample.
 
@@ -522,11 +562,29 @@ class DiffusionProcess:
         measured-best configuration, benchmarks/NOTES.md round-3). The
         default (None) is the reference ancestral path, bit-identical to
         before this kwarg existed.
+
+        ``start_t``/``init``: truncated warm-start sampling (framework
+        addition, default off). ``init`` is a cheap reconstruction in the
+        data range (HWC or (n, H, W, C)); it is q-sampled to t=start_t
+        (``warm_start_state``) and only start_t reverse steps run (or the
+        DDIM subsequence is squeezed into [1, start_t] when ddim_steps is
+        also set).
         """
+        if (start_t is None) != (init is None):
+            raise ValueError(
+                "start_t and init go together: truncated sampling needs a "
+                "warm-start image (init) and a truncation point (start_t)"
+            )
         key, k_init = jax.random.split(jnp.asarray(key))
-        x_T = jax.random.normal(
-            k_init, (n, self.image_size, self.image_size, self.image_channels)
-        )
+        if start_t is not None:
+            init = jnp.asarray(init)
+            if init.ndim == 3:  # single HWC init -> broadcast like cond
+                init = jnp.broadcast_to(init[None], (n,) + init.shape)
+            x_T = warm_start_state(self.schedule, init, start_t, k_init)
+        else:
+            x_T = jax.random.normal(
+                k_init, (n, self.image_size, self.image_size, self.image_channels)
+            )
         if cond is not None and hasattr(cond, "ndim"):
             cond = jnp.asarray(cond)
             if cond.ndim == 3:  # single HWC condition image -> broadcast
@@ -553,7 +611,8 @@ class DiffusionProcess:
                 cfg_scale=cfg_scale,
                 tau_spacing=ddim_spacing,
                 clip_x0=ddim_clip_x0,
+                start_t=start_t,
             )
         else:
-            fn = self.sampler(cfg_scale, capture_frames)
+            fn = self.sampler(cfg_scale, capture_frames, start_t=start_t)
         return fn(variables, key, x_T, cond)

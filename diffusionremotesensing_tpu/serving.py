@@ -130,6 +130,7 @@ class InferenceServer:
         ddim_clip_x0: bool = True,
         seed: int = 0,
         mesh=None,
+        start_t: Optional[int] = None,
     ):
         import jax
 
@@ -159,6 +160,12 @@ class InferenceServer:
         self.variables = variables
         self.max_batch = max_batch
         self.process = make_process(model, noise_schedule, noise_steps, image_size)
+        if start_t is not None and task != "superres":
+            # the warm start is the bicubic upsample of the LR condition —
+            # only super-resolution has that cheap reconstruction
+            raise ValueError("start_t (truncated warm-start sampling) is "
+                             "only available for task='superres'")
+        self._start_t = start_t
         if ddim_steps is not None:
             # clip_x0 default True: the measured-best few-step config
             # (+2.1 dB at DDIM-100 on the learning-gate model,
@@ -166,12 +173,12 @@ class InferenceServer:
             # unclamped trajectory like every other DDIM surface
             self._sampler = self.process.ddim_sampler(
                 ddim_steps, cfg_scale=3.0 if task == "generation" else None,
-                clip_x0=ddim_clip_x0,
+                clip_x0=ddim_clip_x0, start_t=start_t,
             )
         elif task == "generation":
             self._sampler = self.process.sampler(cfg_scale=3.0)
         else:
-            self._sampler = self.process.sampler()
+            self._sampler = self.process.sampler(start_t=start_t)
         self._key = jax.random.PRNGKey(seed)
         self._lock = threading.Lock()
         self._ddim_steps = ddim_steps
@@ -223,9 +230,16 @@ class InferenceServer:
         else:
             cond = jnp.asarray(cond)
         key = self._next_key()
-        x_T = jax.random.normal(
-            key, (self.max_batch, self.image_size, self.image_size, self.model.image_channels)
-        )
+        if self._start_t is not None:
+            from diffusionremotesensing_tpu.diffusion import warm_start_state
+            from diffusionremotesensing_tpu.ops.resize import upsample_bicubic
+
+            init = upsample_bicubic(cond, self.model.magnification_factor or 1)
+            x_T = warm_start_state(self.process.schedule, init, self._start_t, key)
+        else:
+            x_T = jax.random.normal(
+                key, (self.max_batch, self.image_size, self.image_size, self.model.image_channels)
+            )
         if self.mesh is not None:
             from diffusionremotesensing_tpu.parallel.sharding import batch_sharding
 
@@ -282,6 +296,7 @@ class InferenceServer:
                     ddim_clip_x0=self._ddim_clip_x0,  # keep /superres_tile on
                     # the same DDIM trajectory as the micro-batch endpoints
                     mesh=self.mesh,   # shard the patch axis across the mesh
+                    start_t=self._start_t,
                 )
             return np.asarray(self._agg(self.variables, img, key=self._next_key()))
 

@@ -60,6 +60,11 @@ if __name__ == "__main__":
                         default=True,
                         help="clamp the per-step DDIM x0 prediction to [0,1] "
                              "(measured-best; --ddim_clip_x0 false disables)")
+    parser.add_argument("--start_t", type=int, default=None,
+                        help="superres only: truncated warm-start sampling — "
+                             "requests start from the q-sampled bicubic "
+                             "upsample at this timestep (SDEdit/CCDF), running "
+                             "start_t steps instead of the full chain")
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
                         choices=["float32", "bfloat16"],
                         help="sampler computation dtype (params stay f32); "

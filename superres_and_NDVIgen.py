@@ -48,7 +48,7 @@ def _load_variables(model_name: str, device=None):
 
 def super_resolver(lr_img: np.ndarray, device=None, model_name: str = "", key=None,
                    s2d: bool = True, ddim_steps: Optional[int] = None,
-                   ddim_clip_x0: bool = True):
+                   ddim_clip_x0: bool = True, start_t: Optional[int] = None):
     """Super-resolve a single LR image (H, W, C) with the named checkpoint.
 
     model_name must contain 'magnificationN' and 'LRimgsizeN' parts, e.g.
@@ -58,6 +58,10 @@ def super_resolver(lr_img: np.ndarray, device=None, model_name: str = "", key=No
     ``ddim_steps``/``ddim_clip_x0``: optional framework addition (no
     reference counterpart) selecting the DDIM fast sampler; default None
     keeps the reference's 1499-step ancestral path exactly.
+
+    ``start_t``: truncated warm-start sampling (framework addition) — the
+    chain starts from the q-sampled bicubic upsample of ``lr_img`` at this
+    timestep instead of pure noise at T-1; unset keeps the reference chain.
     """
     import jax
 
@@ -87,8 +91,14 @@ def super_resolver(lr_img: np.ndarray, device=None, model_name: str = "", key=No
     )
     variables = _load_variables(model_name, device)
     proc = make_process(model, "cosine", 1500, image_size)
+    init = None
+    if start_t is not None:
+        from diffusionremotesensing_tpu.ops.resize import upsample_bicubic
+
+        init = upsample_bicubic(lr_img[None], magnification_factor)[0]
     out = proc.sample(variables, key or jax.random.PRNGKey(0), n=1, cond=lr_img,
-                      ddim_steps=ddim_steps, ddim_clip_x0=ddim_clip_x0)
+                      ddim_steps=ddim_steps, ddim_clip_x0=ddim_clip_x0,
+                      start_t=start_t, init=init)
     return np.clip(np.asarray(out)[0], 0.0, 1.0)
 
 

@@ -198,7 +198,8 @@ def test_generation_cli_with_video_and_preview_grid(workdir):
 
 def test_aggregation_cli_multichip_and_ddim(workdir):
     """--multiple_gpus shards the patch batch over the virtual 8-device mesh;
-    --ddim_steps switches to the accelerated sampler."""
+    --ddim_steps switches to the accelerated sampler; --start_t runs the
+    truncated warm-start chain (q-sampled bicubic init) through the CLI."""
     _mk_images(os.path.join(workdir, "data", "train_original"), n=4, size=32)
     _mk_images(os.path.join(workdir, "data", "val_original"), n=4, size=32)
     _run(
@@ -220,7 +221,8 @@ def test_aggregation_cli_multichip_and_ddim(workdir):
            "--Degradation_type", "DownBlur", "--device", "cpu",
            "--img_lr_path", os.path.join("lr", "img_0.png"),
            "--destination_path", "sr_out8.png",
-           "--multiple_gpus", "true", "--ddim_steps", "4", "--batch_size", "1"]
+           "--multiple_gpus", "true", "--ddim_steps", "4", "--batch_size", "1",
+           "--start_t", "4"]
     env = _env(); env.update(env_extra)
     res = subprocess.run(cmd, cwd=workdir, env=env, capture_output=True, text=True, timeout=1200)
     assert res.returncode == 0, f"STDOUT:\n{res.stdout}\nSTDERR:\n{res.stderr}"
