@@ -152,13 +152,19 @@ def bench_tpu():
         # fail the A/B run with the reason rather than a Mosaic compile
         # error mid-measurement
         raise RuntimeError(FUSED_UPDATE_NEEDS_TPU)
+    # DRS_BENCH_START_T=<t>: truncated warm-start sampling (--start_t) for
+    # same-window A/B walls — quality for a config must be gated through
+    # learning_check --start_t before any headline use (NOTES.md round-3)
+    start_t = int(os.environ.get("DRS_BENCH_START_T", "0")) or None
     agg = AggregationSampler(
-        proc, PATCH, STRIDE, MAG, batch_size=BATCH, fused_update=fused
+        proc, PATCH, STRIDE, MAG, batch_size=BATCH, fused_update=fused,
+        start_t=start_t,
     )
     tile_s = run_tile(agg, reps=3)
 
     agg_ddim = AggregationSampler(
-        proc, PATCH, STRIDE, MAG, batch_size=BATCH, ddim_steps=DDIM_STEPS
+        proc, PATCH, STRIDE, MAG, batch_size=BATCH, ddim_steps=DDIM_STEPS,
+        start_t=start_t,
     )
     # the ~1 s DDIM tile is short enough that one tunnel pipeline stall moves
     # a best-of-3 by ~25% (NOTES.md round-3); more reps are nearly free here
