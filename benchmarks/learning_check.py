@@ -201,6 +201,8 @@ def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int 
         start_t=start_t,
     )
 
+    import time
+
     rows = []
     tiles = sorted(os.listdir(os.path.join(root, "eval_tiles")))
     quant = os.environ.get("DRS_QUANT") == "1"
@@ -219,7 +221,9 @@ def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int 
                 model, variables, proc.schedule.alpha_hat, lr, patch, mag,
                 jax.random.PRNGKey(200 + i),
             )
+        t0 = time.perf_counter()
         sr = np.asarray(agg(tile_vars, lr, key=jax.random.PRNGKey(100 + i)))
+        tile_wall = time.perf_counter() - t0
         bic = np.clip(np.asarray(upsample_bicubic(jnp.asarray(lr)[None], mag))[0], 0, 1)
         rows.append(
             {
@@ -228,6 +232,7 @@ def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int 
                 "sr_ssim": ssim(sr, hr, data_range=1.0),
                 "bicubic_psnr_db": psnr(bic, hr, data_range=1.0),
                 "bicubic_ssim": ssim(bic, hr, data_range=1.0),
+                "tile_wall_s": round(tile_wall, 3),
             }
         )
     summary = {
@@ -244,6 +249,11 @@ def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int 
         "mean_bicubic_psnr_db": float(np.mean([r["bicubic_psnr_db"] for r in rows])),
         "mean_sr_ssim": float(np.mean([r["sr_ssim"] for r in rows])),
         "mean_bicubic_ssim": float(np.mean([r["bicubic_ssim"] for r in rows])),
+        # first tile pays the compile; the warm tiles are the speed number
+        "tile_wall_s_warm_median": float(
+            np.median([r["tile_wall_s"] for r in rows[1:]] or
+                      [rows[0]["tile_wall_s"]])
+        ),
     }
     summary["beats_bicubic"] = summary["mean_sr_psnr_db"] > summary["mean_bicubic_psnr_db"]
     print(json.dumps(summary, indent=2))

@@ -169,8 +169,35 @@ class AggregationSampler:
         )
         return patches, boxes
 
-    def sample_patches(self, variables, patches: np.ndarray, key: jax.Array) -> np.ndarray:
-        """Denoise all patches, chunked to a static per-call batch."""
+    def _chunk_plan(self, n: int) -> List[Tuple[int, int]]:
+        """Chunk layout: full chunks of ``chunk``, plus one remainder chunk
+        padded only to a multiple of n_devices (a second compiled shape)
+        rather than wrap-padding to a full chunk — a 1-patch remainder used
+        to pay for chunk-1 ghost patches at full T."""
+        chunk = self._chunk()
+        starts = list(range(0, (n // chunk) * chunk, chunk))
+        sizes = [chunk] * len(starts)
+        rem = n % chunk
+        if rem:
+            starts.append((n // chunk) * chunk)
+            sizes.append(-(-rem // self.n_devices) * self.n_devices)
+        return list(zip(starts, sizes))
+
+    def _iter_sampled_chunks(self, variables, n: int, block_fn, key: jax.Array):
+        """Denoise ``n`` patches chunk by chunk; yields ``(start, k, out)``
+        with ``out[:k]`` the valid (unpadded) patches at ``start``.
+
+        ``block_fn(idx)`` returns the (len(idx), p, p, C) LR patch block for
+        the given patch indices — the caller materializes only one chunk of
+        patches at a time (a squarify-scale tile admits ~97k patches; the
+        full patch stack never needs to exist on the host).
+
+        Async pipeline: dispatch chunks without blocking (JAX enqueues the
+        jitted scans back-to-back on the device stream) — a per-chunk
+        block_until_ready would strictly alternate host and device work.
+        In-flight dispatches are bounded by a sliding window so a huge tile
+        never holds every chunk's x_T/cond/output in HBM at once; gathering
+        chunk k-W while k runs still overlaps host and device."""
         if self.ddim_steps is not None:
             sampler = self.process.ddim_sampler(
                 self.ddim_steps, self.ddim_eta,
@@ -181,42 +208,18 @@ class AggregationSampler:
             sampler = self.process.sampler(
                 fused_update=self.fused_update, start_t=self.start_t
             )
-        chunk = self._chunk()
-        n = patches.shape[0]
         hr = self.patch_size * self.mag
         if self.mesh is not None:
             # params/stats must be replicated across the mesh the batch spans
             variables = jax.device_put(variables, replicated_sharding(self.mesh))
             bs = batch_sharding(self.mesh)
 
-        # Chunk layout: full chunks of `chunk`, plus one remainder chunk
-        # padded only to a multiple of n_devices (a second compiled shape)
-        # rather than wrap-padding to a full chunk — a 1-patch remainder used
-        # to pay for chunk-1 ghost patches at full T.
-        starts = list(range(0, (n // chunk) * chunk, chunk))
-        sizes = [chunk] * len(starts)
-        rem = n % chunk
-        if rem:
-            starts.append((n // chunk) * chunk)
-            sizes.append(-(-rem // self.n_devices) * self.n_devices)
-
-        # Async pipeline: dispatch chunks without blocking (JAX enqueues the
-        # jitted scans back-to-back on the device stream) — the old
-        # per-chunk block_until_ready strictly alternated host and device
-        # work. In-flight dispatches are bounded by a sliding window so a
-        # huge tile (squarify allows up to 10000px ~ thousands of chunks)
-        # never holds every chunk's x_T/cond/output in HBM at once; gathering
-        # chunk k-W while k runs still overlaps host and device.
         MAX_IN_FLIGHT = 4
-        outs: List[np.ndarray] = []
-        pending: List = []
-        for start, size in zip(starts, sizes):
+        pending: List[Tuple[int, int, jnp.ndarray]] = []
+        for start, size in self._chunk_plan(n):
             key, k_init, k_samp = jax.random.split(key, 3)
-            block = patches[start : min(start + size, n)]
-            if block.shape[0] < size:  # wrap-around pad within the remainder
-                block = np.concatenate(
-                    [block, patches[np.arange(size - block.shape[0]) % n]], axis=0
-                )
+            # wrap-around pad within the remainder chunk
+            block = block_fn(np.arange(start, start + size) % n)
             cond = jnp.asarray(block)
             if self.start_t is not None:
                 from diffusionremotesensing_tpu.diffusion import warm_start_state
@@ -230,30 +233,62 @@ class AggregationSampler:
                     self.process.schedule, init, self.start_t, k_init
                 )
             else:
-                x_T = jax.random.normal(k_init, (size, hr, hr, patches.shape[-1]))
+                x_T = jax.random.normal(k_init, (size, hr, hr, block.shape[-1]))
             if self.mesh is not None:
                 cond = jax.device_put(cond, bs)
                 x_T = jax.device_put(x_T, bs)
-            pending.append(sampler(variables, k_samp, x_T, cond))
+            pending.append((start, min(size, n - start), sampler(variables, k_samp, x_T, cond)))
             if len(pending) >= MAX_IN_FLIGHT:  # cap in-flight chunks at the bound
-                outs.append(np.asarray(pending.pop(0)))
-        outs.extend(np.asarray(o) for o in pending)
-        out = np.concatenate(outs, axis=0)
-        return out[:n]
+                s, k, o = pending.pop(0)
+                yield s, k, np.asarray(o)
+        for s, k, o in pending:
+            yield s, k, np.asarray(o)
+
+    def sample_patches(self, variables, patches: np.ndarray, key: jax.Array) -> np.ndarray:
+        """Denoise all patches, chunked to a static per-call batch."""
+        n = patches.shape[0]
+        outs = [
+            out[:k]
+            for _, k, out in self._iter_sampled_chunks(
+                variables, n, lambda idx: patches[idx], key
+            )
+        ]
+        return np.concatenate(outs, axis=0)
 
     def __call__(self, variables, img_lr: np.ndarray, key: Optional[jax.Array] = None) -> np.ndarray:
-        """Full tiled SR: (H, W, C) LR -> (H*mag, W*mag, C) in [0, 1]."""
+        """Full tiled SR: (H, W, C) LR -> (H*mag, W*mag, C) in [0, 1].
+
+        The blend is STREAMED: each gathered chunk is scatter-added into the
+        canvas immediately, so peak host memory is the output canvas (+ a
+        single-channel weight accumulator) plus ONE chunk of patches — the
+        full (P, hr, hr, C) patch stack never exists. At squarify's largest
+        size (10000px LR, patch 64 / stride 32 ≈ 97k patches) the old
+        gather-then-blend path would have held ~19 GB of sampled patches;
+        streaming holds the canvas plus ~75 MB of chunk."""
         if key is None:
             key = jax.random.PRNGKey(0)
+        img_lr = np.asarray(img_lr, np.float32)
         h, w, c = img_lr.shape
-        patches, boxes = self.extract_patches(np.asarray(img_lr, np.float32))
-        sr = self.sample_patches(variables, patches, key)
+        mag = self.mag
+        boxes = patchify_coords(h, w, self.patch_size, self.stride, mag)
+        n = len(boxes)
 
-        canvas = np.zeros((h * self.mag, w * self.mag, c), np.float32)
-        counts = np.zeros_like(canvas)
+        def block_fn(idx: np.ndarray) -> np.ndarray:
+            # lazy patch extraction: only the requested chunk is materialized
+            return np.stack(
+                [
+                    img_lr[boxes[i][0] // mag : boxes[i][1] // mag,
+                           boxes[i][2] // mag : boxes[i][3] // mag]
+                    for i in idx
+                ]
+            )
+
+        canvas = np.zeros((h * mag, w * mag, c), np.float32)
+        counts = np.zeros((h * mag, w * mag, 1), np.float32)
         wmask = self.weight[:, :, None]
-        for patch, (y0, y1, x0, x1) in zip(sr, boxes):
-            canvas[y0:y1, x0:x1] += patch * wmask
-            counts[y0:y1, x0:x1] += wmask
+        for start, k, out in self._iter_sampled_chunks(variables, n, block_fn, key):
+            for patch, (y0, y1, x0, x1) in zip(out[:k], boxes[start : start + k]):
+                canvas[y0:y1, x0:x1] += patch * wmask
+                counts[y0:y1, x0:x1] += wmask
         assert (counts != 0).all()
         return np.clip(canvas / counts, 0.0, 1.0)

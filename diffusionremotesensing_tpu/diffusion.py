@@ -279,7 +279,14 @@ def make_ddim_sampler(
         raise ValueError(f"start_t must be in [1, {T - 1}], got {start_t}")
     # strided subsequence of [1, t_start], descending; pair each t with its
     # predecessor in the subsequence (0 terminates, where alpha_hat -> 1)
-    if tau_spacing == "quadratic":
+    if num_steps == 1:
+        # np.linspace(lo, hi, 1) returns [lo]: the single step would run at
+        # t=1 and never remove the t_start noise the caller's state carries
+        # (explicitly wrong under start_t, where x IS x_{start_t}). Anchor
+        # the one step at t_start: one DDIM step = direct x0 prediction
+        # from the actual starting state.
+        grid = np.asarray([t_start], np.float64)
+    elif tau_spacing == "quadratic":
         grid = np.linspace(1.0, np.sqrt(t_start), num_steps) ** 2
     elif tau_spacing == "linear":
         grid = np.linspace(1, t_start, num_steps)

@@ -167,6 +167,102 @@ def test_aggregation_sharded_s2d_model():
     np.testing.assert_allclose(out, out0, atol=1e-4)
 
 
+def test_streaming_blend_matches_gather_blend():
+    """__call__ streams each gathered chunk straight into the canvas; the
+    result must be IDENTICAL to the old gather-then-blend (sample_patches +
+    per-patch scatter-add), across many chunks incl. the padded remainder."""
+    mag, patch, stride = 2, 8, 4
+    proc = _oracle_process(patch * mag, mag)
+    agg = AggregationSampler(proc, patch_size=patch, stride=stride,
+                             magnification_factor=mag, batch_size=16)
+    rng = np.random.default_rng(7)
+    img = rng.random((48, 48, 3)).astype(np.float32)  # 121 patches, 8 chunks
+    out = agg(None, img, key=jax.random.PRNGKey(9))
+
+    # gather-then-blend reference with the same key stream
+    patches, boxes = agg.extract_patches(img)
+    sr = agg.sample_patches(None, patches, jax.random.PRNGKey(9))
+    canvas = np.zeros((96, 96, 3), np.float32)
+    counts = np.zeros((96, 96, 1), np.float32)
+    wmask = agg.weight[:, :, None]
+    for p, (y0, y1, x0, x1) in zip(sr, boxes):
+        canvas[y0:y1, x0:x1] += p * wmask
+        counts[y0:y1, x0:x1] += wmask
+    np.testing.assert_array_equal(out, np.clip(canvas / counts, 0, 1))
+
+
+def test_streaming_blend_never_materializes_patch_stack(monkeypatch):
+    """Bounded-memory contract: the full (P, p, p, C) patch stack must never
+    exist during __call__ — extract_patches (the full-stack builder) is
+    poisoned and the streamed path must not touch it."""
+    mag, patch = 2, 8
+    proc = _oracle_process(patch * mag, mag)
+    agg = AggregationSampler(proc, patch_size=patch, stride=4,
+                             magnification_factor=mag, batch_size=8)
+
+    def boom(self, img):  # pragma: no cover - failure path
+        raise AssertionError("full patch stack materialized")
+
+    monkeypatch.setattr(AggregationSampler, "extract_patches", boom)
+    img = np.random.default_rng(2).random((32, 32, 3)).astype(np.float32)
+    out = agg(None, img, key=jax.random.PRNGKey(3))
+    expected = np.repeat(np.repeat(img, mag, 0), mag, 1)
+    assert np.abs(out - expected).mean() < 0.08
+
+
+def test_streaming_blend_sharded_mesh():
+    """Streamed blend under the 8-device mesh (many chunks incl. a padded
+    remainder) still reproduces the oracle target."""
+    from diffusionremotesensing_tpu.parallel.sharding import make_mesh
+
+    mag, patch, stride = 2, 8, 4
+    proc = _oracle_process(patch * mag, mag)
+    mesh = make_mesh()
+    agg = AggregationSampler(proc, patch, stride, mag, batch_size=1, mesh=mesh)
+    img = np.random.default_rng(5).random((32, 32, 3)).astype(np.float32)
+    out = agg(None, img, key=jax.random.PRNGKey(6))  # 49 patches, 7 chunks
+    expected = np.repeat(np.repeat(img, mag, 0), mag, 1)
+    assert np.abs(out - expected).mean() < 0.08
+
+
+def test_host_blend_scale_10k_patches():
+    """Squarify-scale host-side blend: >=10k patches through the REAL
+    streamed __call__ loop (the sampler is stubbed to the identity oracle so
+    no device chain runs). Asserts exact blend correctness at 1024px LR x2
+    (2048px canvas) and that the host loop cost stays trivial (~seconds) —
+    the squarify 8192/10000px sizes scale this linearly (VERDICT round-3)."""
+    import time
+
+    mag, patch, stride = 2, 8, 4
+    proc = _oracle_process(patch * mag, mag)
+    agg = AggregationSampler(proc, patch_size=patch, stride=stride,
+                             magnification_factor=mag, batch_size=256)
+    img = np.random.default_rng(8).random((1024, 1024, 3)).astype(np.float32)
+
+    def fake_iter(variables, n, block_fn, key):
+        # exact per-patch SR: the nearest-upsampled LR patch (what the
+        # oracle chain converges to, minus sampler noise)
+        chunk = agg._chunk()
+        for start in range(0, n, chunk):
+            k = min(chunk, n - start)
+            block = block_fn(np.arange(start, start + k))
+            out = np.repeat(np.repeat(block, mag, 1), mag, 2)
+            yield start, k, out
+
+    agg._iter_sampled_chunks = fake_iter
+    t0 = time.perf_counter()
+    out = agg(None, img, key=jax.random.PRNGKey(1))
+    wall = time.perf_counter() - t0
+    n_boxes = len(patchify_coords(1024, 1024, patch, stride, mag))
+    assert n_boxes >= 10_000, n_boxes  # 65k+ patches at this tiling
+    assert out.shape == (2048, 2048, 3)
+    # every patch is the exact upsample -> the weighted mean is exact
+    expected = np.repeat(np.repeat(img, mag, 0), mag, 1)
+    np.testing.assert_allclose(out, expected, atol=1e-5)
+    # host loop cost sanity (blend + lazy extraction; generous CI bound)
+    assert wall < 120, f"host blend took {wall:.1f}s for {n_boxes} patches"
+
+
 def test_fused_update_with_ddim_is_rejected():
     """fused_update only exists on the DDPM ancestral branch; combined with
     ddim_steps it would silently sample the unmodified path — the

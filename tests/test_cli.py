@@ -214,20 +214,24 @@ def test_aggregation_cli_multichip_and_ddim(workdir):
     )
     _mk_images(os.path.join(workdir, "lr"), n=1, size=32)
     env_extra = {"XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
-    cmd = [sys.executable, os.path.join(REPO, "Aggregation_Sampling.py"),
-           "--model_name", "smoke_agg8", "--magnification_factor", "2",
-           "--noise_steps", "6", "--patch_size", "16", "--stride", "8",
-           "--model_input_size", "32", "--UNet_type", "Residual Attention UNet",
-           "--Degradation_type", "DownBlur", "--device", "cpu",
-           "--img_lr_path", os.path.join("lr", "img_0.png"),
-           "--destination_path", "sr_out8.png",
-           "--multiple_gpus", "true", "--ddim_steps", "4", "--batch_size", "1",
-           "--start_t", "4"]
     env = _env(); env.update(env_extra)
-    res = subprocess.run(cmd, cwd=workdir, env=env, capture_output=True, text=True, timeout=1200)
-    assert res.returncode == 0, f"STDOUT:\n{res.stdout}\nSTDERR:\n{res.stderr}"
-    out = Image.open(os.path.join(workdir, "sr_out8.png"))
-    assert out.size == (64, 64)
+    # one trained model, two CLI runs: the plain multichip+DDIM path AND the
+    # --start_t truncated warm-start variant (both must stay covered)
+    for out_name, extra in (("sr_out8.png", []),
+                            ("sr_out8_trunc.png", ["--start_t", "4"])):
+        cmd = [sys.executable, os.path.join(REPO, "Aggregation_Sampling.py"),
+               "--model_name", "smoke_agg8", "--magnification_factor", "2",
+               "--noise_steps", "6", "--patch_size", "16", "--stride", "8",
+               "--model_input_size", "32", "--UNet_type", "Residual Attention UNet",
+               "--Degradation_type", "DownBlur", "--device", "cpu",
+               "--img_lr_path", os.path.join("lr", "img_0.png"),
+               "--destination_path", out_name,
+               "--multiple_gpus", "true", "--ddim_steps", "4",
+               "--batch_size", "1"] + extra
+        res = subprocess.run(cmd, cwd=workdir, env=env, capture_output=True, text=True, timeout=1200)
+        assert res.returncode == 0, f"STDOUT:\n{res.stdout}\nSTDERR:\n{res.stderr}"
+        out = Image.open(os.path.join(workdir, out_name))
+        assert out.size == (64, 64)
 
 
 def test_train_superres_bsrgan_cli(workdir):

@@ -30,3 +30,15 @@ def test_serving_bench_smoke():
         assert k in out and out[k] > 0
     # p50 <= p95 by construction
     assert out["ddim2_latency_p50_s"] <= out["ddim2_latency_p95_s"]
+
+
+def test_serving_bench_soak_smoke():
+    """--soak mode: sustained mixed traffic; key-reuse + leak checks wired."""
+    from benchmarks.serving_bench import soak
+
+    out = soak(max_batch=2, seconds=4, n_threads=2, ddim_steps=2)
+    assert out["mode"] == "soak"
+    assert out["requests_failed"] == 0, out["errors_sample"]
+    assert out["requests_ok"] > 0
+    assert out["all_outputs_distinct"] is True
+    assert out["sustained_req_per_s"] > 0

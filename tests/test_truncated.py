@@ -112,6 +112,37 @@ def test_truncated_oracle_recovers_x0_both_samplers():
     np.testing.assert_allclose(np.asarray(got_d), 0.3, atol=1e-3)
 
 
+def test_ddim_single_step_anchors_at_start_t():
+    """num_steps=1 must run its one step AT t_start (np.linspace(1, t, 1)
+    would put it at t=1, silently never removing the start_t noise the
+    caller's warm-start state carries — ADVICE round-3). With the eps-oracle
+    a single DDIM step from t_start is an exact x0 prediction."""
+    sched = make_schedule("cosine", 1000)
+    x0 = 0.3 * jnp.ones((2, 4, 4, 1))
+    apply_fn = _oracle_apply(sched, x0)
+    start = 400
+    x_s = warm_start_state(sched, jnp.full((2, 4, 4, 1), 0.32), start,
+                           jax.random.PRNGKey(0))
+    got = make_ddim_sampler(apply_fn, sched, num_steps=1, start_t=start)(
+        None, jax.random.PRNGKey(1), x_s
+    )
+    np.testing.assert_allclose(np.asarray(got), 0.3, atol=1e-4)
+
+    # untruncated num_steps=1: the single step sits at T-1 (x0 prediction
+    # from the actual starting state), same anchoring rule
+    seen = []
+
+    def recording(variables, x, t, cond, mask):
+        seen.append(t)
+        return apply_fn(variables, x, t, cond, mask)
+
+    with jax.disable_jit():
+        make_ddim_sampler(recording, sched, num_steps=1)(
+            None, jax.random.PRNGKey(1), x_s
+        )
+    assert int(seen[0][0]) == 999
+
+
 def test_ddim_truncated_taus_stay_in_range():
     """The DDIM subsequence under start_t must never query t > start_t
     (an out-of-range tau would q-sample noise the warm start never added)."""
