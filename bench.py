@@ -66,16 +66,18 @@ def _patch_count() -> int:
     return len(patchify_coords(TILE, TILE, PATCH, STRIDE, MAG))
 
 
-def bench_tpu():
+def setup_flagship(dtype_bf16: bool = True):
+    """Build the bench's flagship sampler environment: the superres model
+    (adopted kernel config + env A/B knobs), CPU-initialized variables moved
+    to the default device, the cosine/1500 process, and the 256px LR tile.
+    Shared with benchmarks/ab_blend.py so A/B runs measure the exact
+    configuration the headline bench measures."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from diffusionremotesensing_tpu.aggregation import AggregationSampler
     from diffusionremotesensing_tpu.diffusion import make_process
     from diffusionremotesensing_tpu.models.unet import (
-        FUSED_UPDATE_NEEDS_TPU,
-        fused_update_device_ok,
         init_unet_params,
         residual_attention_unet_superres,
     )
@@ -99,7 +101,9 @@ def bench_tpu():
     # kernel (ops/att_block.py); DRS_DEC_BLOCK=1 the fused decoder tail
     # (ops/dec_block.py) — both for same-window A/B measurements
     model = residual_attention_unet_superres(
-        magnification_factor=MAG, dtype=jnp.bfloat16, s2d=True, tap44=tap44,
+        magnification_factor=MAG,
+        dtype=jnp.bfloat16 if dtype_bf16 else jnp.float32,
+        s2d=True, tap44=tap44,
         packed_head=os.environ.get("DRS_PACKED_HEAD") == "1",
         fused_att=os.environ.get("DRS_FUSED_ATT") == "1",
         dec_block=os.environ.get("DRS_DEC_BLOCK") == "1",
@@ -135,15 +139,36 @@ def bench_tpu():
             model, variables, proc.schedule.alpha_hat, img, PATCH, MAG,
             jax.random.PRNGKey(21),
         )
+    return model, variables, proc, img
 
-    def run_tile(sampler: AggregationSampler, reps: int) -> float:
-        sampler(variables, img, key=jax.random.PRNGKey(7))  # warmup + compile
-        best = float("inf")
-        for i in range(reps):
-            t0 = time.perf_counter()
-            sampler(variables, img, key=jax.random.PRNGKey(11 + i))
-            best = min(best, time.perf_counter() - t0)
-        return best
+
+def run_tile_reps(sampler, variables, img, reps: int) -> list:
+    """Warm up (compile) then time ``reps`` full tile runs; returns the
+    per-rep wall seconds. Callers aggregate — the per-rep list is part of
+    bench output so one bad tunnel window can't silently move a headline
+    (the round-4 driver bench recorded a DDIM best-of-9 56% above the
+    round-3 value while T=1500/MFU stayed flat; see NOTES.md round-5)."""
+    import jax
+
+    sampler(variables, img, key=jax.random.PRNGKey(7))  # warmup + compile
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        sampler(variables, img, key=jax.random.PRNGKey(11 + i))
+        times.append(time.perf_counter() - t0)
+    return times
+
+
+def bench_tpu():
+    import jax
+
+    from diffusionremotesensing_tpu.aggregation import AggregationSampler
+    from diffusionremotesensing_tpu.models.unet import (
+        FUSED_UPDATE_NEEDS_TPU,
+        fused_update_device_ok,
+    )
+
+    model, variables, proc, img = setup_flagship()
 
     # DRS_FUSED_UPDATE=1: fused Pallas ancestral-update + on-chip PRNG
     # (ops/fused_update.py) for same-window A/B runs
@@ -160,7 +185,7 @@ def bench_tpu():
         proc, PATCH, STRIDE, MAG, batch_size=BATCH, fused_update=fused,
         start_t=start_t,
     )
-    tile_s = run_tile(agg, reps=3)
+    t1500_reps = run_tile_reps(agg, variables, img, reps=3)
 
     agg_ddim = AggregationSampler(
         proc, PATCH, STRIDE, MAG, batch_size=BATCH, ddim_steps=DDIM_STEPS,
@@ -168,10 +193,10 @@ def bench_tpu():
     )
     # the ~1 s DDIM tile is short enough that one tunnel pipeline stall moves
     # a best-of-3 by ~25% (NOTES.md round-3); more reps are nearly free here
-    tile_ddim_s = run_tile(agg_ddim, reps=9)
+    ddim_reps = run_tile_reps(agg_ddim, variables, img, reps=9)
 
     kind = jax.devices()[0].device_kind
-    return tile_s, tile_ddim_s, kind
+    return t1500_reps, ddim_reps, kind
 
 
 def bench_torch_baseline():
@@ -252,7 +277,17 @@ def main():
     if not force_cpu_if_requested():
         _wait_for_tpu()
     n_patches = _patch_count()
-    tile_s, tile_ddim_s, kind = bench_tpu()
+    t1500_reps, ddim_reps, kind = bench_tpu()
+    # headline stays best-of-3 (comparable with BENCH_r01-r04); the DDIM row
+    # reports the MEDIAN with per-rep times + IQR so a single degraded tunnel
+    # window is visible in the record instead of silently moving the number
+    tile_s = min(t1500_reps)
+    sorted_ddim = sorted(ddim_reps)
+    tile_ddim_s = sorted_ddim[len(sorted_ddim) // 2]
+    ddim_iqr = (
+        sorted_ddim[(3 * len(sorted_ddim)) // 4]
+        - sorted_ddim[len(sorted_ddim) // 4]
+    )
     fwd_per_tile = n_patches * (T - 1)
     fwd_rate = fwd_per_tile / tile_s
     peak = BF16_PEAK.get(kind)
@@ -276,8 +311,13 @@ def main():
                 # DDIM-100 with clip_x0 (the AggregationSampler default):
                 # 33.95 dB / 0.960 SSIM vs bicubic 23.97 / 0.854 on the
                 # 95k-step learning-gate snapshot (benchmarks/NOTES.md) —
-                # beats bicubic on BOTH metrics at this speed point
+                # beats bicubic on BOTH metrics at this speed point.
+                # Median of 9 reps; per-rep list + IQR recorded so tunnel
+                # variance is visible (NOTES.md round-5 A/B).
                 "tile_seconds_ddim100": round(tile_ddim_s, 3),
+                "ddim100_rep_seconds": [round(t, 3) for t in ddim_reps],
+                "ddim100_iqr_seconds": round(ddim_iqr, 3),
+                "t1500_rep_seconds": [round(t, 3) for t in t1500_reps],
                 "unet_forwards_per_sec": round(fwd_rate, 1),
                 "mfu_pct": round(100 * mfu, 1) if mfu else None,
                 "device_kind": kind,

@@ -249,10 +249,14 @@ def evaluate(root: str, snapshot: str, ddim_steps: int | None, noise_steps: int 
         "mean_bicubic_psnr_db": float(np.mean([r["bicubic_psnr_db"] for r in rows])),
         "mean_sr_ssim": float(np.mean([r["sr_ssim"] for r in rows])),
         "mean_bicubic_ssim": float(np.mean([r["bicubic_ssim"] for r in rows])),
-        # first tile pays the compile; the warm tiles are the speed number
-        "tile_wall_s_warm_median": float(
-            np.median([r["tile_wall_s"] for r in rows[1:]] or
-                      [rows[0]["tile_wall_s"]])
+        # first tile pays the compile; the warm tiles are the speed number.
+        # With a single eval tile there IS no warm sample — report null
+        # rather than silently substituting the compile-bearing cold wall
+        # (ADVICE round-4); the cold number gets its own key.
+        "tile_wall_s_cold": rows[0]["tile_wall_s"],
+        "tile_wall_s_warm_median": (
+            float(np.median([r["tile_wall_s"] for r in rows[1:]]))
+            if len(rows) > 1 else None
         ),
     }
     summary["beats_bicubic"] = summary["mean_sr_psnr_db"] > summary["mean_bicubic_psnr_db"]

@@ -164,13 +164,20 @@ def _rss_mb() -> float:
 
 
 def soak(max_batch: int, seconds: float, n_threads: int,
-         ddim_steps: int = 100) -> dict:
-    """Sustained mixed-endpoint soak on the real chip: ``n_threads`` clients
-    loop POST /superres (plus periodic /healthz and one /superres_tile per
-    thread) for ``seconds``. Reports sustained QPS, latency percentiles,
-    error count, output distinctness (key-reuse check at scale), and RSS
-    growth over the soak (leak check). The NOTES.md sustained-QPS row comes
-    from this mode (VERDICT round-3 item 6)."""
+         ddim_steps: int = 100, tile_threads: int = 4) -> dict:
+    """Sustained mixed-endpoint soak on the real chip: ``tile_threads``
+    clients POST /superres_tile continuously (128px LR tiles through the
+    tile lock + compiled aggregation path) while ``n_threads - tile_threads``
+    clients loop the micro-batched POST /superres (plus periodic /healthz)
+    for ``seconds``. Reports sustained QPS and latency percentiles PER
+    ENDPOINT CLASS, a per-quarter starvation check (both classes must keep
+    completing in every quarter of the window), error count, output
+    distinctness (key-reuse check at scale), and RSS growth over the soak
+    (leak check). Rates count only completions inside the requested window
+    (the post-stop drain is reported separately, not folded into QPS —
+    ADVICE round-4). The NOTES.md sustained-QPS rows come from this mode
+    (VERDICT round-3 item 6; tile-first-class mix per VERDICT round-4
+    item 2)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -213,39 +220,43 @@ def soak(max_batch: int, seconds: float, n_threads: int,
                    np.float32)
     )
 
+    import hashlib
+
     lock = threading.Lock()
+    # per-completion (latency, t_done) pairs; t_done is relative to t_start
     lats: list = []
-    outs: set = set()
-    errors: list = []
-    tile_walls: list = []
+    tile_lats: list = []
+    outs: set = set()          # sha256 of outputs — distinctness without
+    errors: list = []          # retaining ~40 KB of base64 per request
     stop = threading.Event()
+    t_start = 0.0              # set just before threads start
+
+    def _record(sink: list, t0: float, r: dict):
+        done = time.perf_counter()
+        with lock:
+            sink.append((done - t0, done - t_start))
+            outs.add(hashlib.sha256(r["image"].encode()).hexdigest())
 
     def worker(wid: int):
-        did_tile = False
+        is_tile = wid < tile_threads
         i = 0
         while not stop.is_set():
             try:
-                if i % 16 == 7:
+                if is_tile:
+                    # dedicated tile client: continuous 128px-LR tiles
+                    # through the tile lock + compiled aggregation path
+                    t0 = time.perf_counter()
+                    r = _post(port, "/superres_tile", {"image": tile_b64})
+                    _record(tile_lats, t0, r)
+                elif i % 16 == 7:
                     with urllib.request.urlopen(
                         f"http://127.0.0.1:{port}/healthz", timeout=30
                     ) as r:
                         assert json.loads(r.read())["status"] == "ok"
-                elif not did_tile and i == 3 and wid < 2:
-                    # a couple of tile requests ride along (they serialize on
-                    # the tile lock; keep them rare so QPS reads the
-                    # micro-batched endpoint)
-                    t0 = time.perf_counter()
-                    r = _post(port, "/superres_tile", {"image": tile_b64})
-                    with lock:
-                        tile_walls.append(time.perf_counter() - t0)
-                        outs.add(r["image"])
-                    did_tile = True
                 else:
                     t0 = time.perf_counter()
                     r = _post(port, "/superres", {"image": img_b64})
-                    with lock:
-                        lats.append(time.perf_counter() - t0)
-                        outs.add(r["image"])
+                    _record(lats, t0, r)
             except Exception as e:
                 with lock:
                     errors.append(repr(e))
@@ -263,25 +274,49 @@ def soak(max_batch: int, seconds: float, n_threads: int,
     stop.set()
     for t in threads:
         t.join(timeout=600)
-    wall = time.perf_counter() - t_start
+    drain_s = time.perf_counter() - t_start - seconds
     rss1 = _rss_mb()
     httpd.shutdown()
     server.batcher.shutdown()
 
-    n_ok = len(lats) + len(tile_walls)
+    def _split(pairs):
+        """(all latencies, in-window count, per-quarter in-window counts).
+        Rates use only completions inside the requested window (the drain
+        tail would inflate them — ADVICE round-4); latency percentiles use
+        every completion (a latency is valid whenever it finishes)."""
+        all_l = [l for (l, _) in pairs]
+        quarters = [0, 0, 0, 0]
+        for _, td in pairs:
+            if td <= seconds:
+                quarters[min(3, int(4 * td / seconds))] += 1
+        return all_l, sum(quarters), quarters
+
+    sr, sr_inw, sr_q = _split(lats)
+    tl, tl_inw, tl_q = _split(tile_lats)
+    n_ok = len(lats) + len(tile_lats)
     return {
         "mode": "soak",
         "max_batch": max_batch,
         "n_threads": n_threads,
-        "soak_seconds": round(wall, 1),
+        "tile_threads": tile_threads,
+        "soak_seconds": seconds,
+        "drain_seconds": round(drain_s, 1),
         "ddim_steps": ddim_steps,
         "requests_ok": n_ok,
         "requests_failed": len(errors),
-        "sustained_req_per_s": round(len(lats) / wall, 2),
-        "latency_p50_s": round(_percentile(lats, 50), 3) if lats else None,
-        "latency_p95_s": round(_percentile(lats, 95), 3) if lats else None,
-        "tile_requests": len(tile_walls),
-        "tile_p95_s": round(_percentile(tile_walls, 95), 3) if tile_walls else None,
+        # rates over the REQUESTED window only (post-stop drain excluded)
+        "sustained_req_per_s": round(sr_inw / seconds, 2),
+        "latency_p50_s": round(_percentile(sr, 50), 3) if sr else None,
+        "latency_p95_s": round(_percentile(sr, 95), 3) if sr else None,
+        "superres_per_quarter": sr_q,
+        "tile_requests": len(tl),
+        "tile_req_per_s": round(tl_inw / seconds, 2),
+        "tile_p50_s": round(_percentile(tl, 50), 3) if tl else None,
+        "tile_p95_s": round(_percentile(tl, 95), 3) if tl else None,
+        "tile_per_quarter": tl_q,
+        # both endpoint classes completed work in every quarter of the
+        # window -> neither starved behind the other's lock
+        "no_starvation": all(q > 0 for q in sr_q) and all(q > 0 for q in tl_q),
         "all_outputs_distinct": len(outs) == n_ok,
         "rss_growth_mb": round(rss1 - rss0, 1),
         "errors_sample": errors[:3],
@@ -299,13 +334,16 @@ def main():
                     help="sustained mixed-endpoint soak for this many seconds "
                          "(reports sustained QPS / p95 / leak+key-reuse checks)")
     ap.add_argument("--soak_threads", type=int, default=16)
+    ap.add_argument("--tile_threads", type=int, default=4,
+                    help="of --soak_threads, how many post /superres_tile "
+                         "continuously (the rest drive /superres)")
     args = ap.parse_args()
     from diffusionremotesensing_tpu.utils import force_cpu_if_requested
 
     force_cpu_if_requested()
     if args.soak:
         print(json.dumps(soak(args.max_batch, args.soak, args.soak_threads,
-                              args.ddim_steps)))
+                              args.ddim_steps, args.tile_threads)))
     else:
         print(json.dumps(bench(args.max_batch, args.quick, args.ddim_steps)))
 

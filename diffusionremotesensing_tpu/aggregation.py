@@ -197,7 +197,16 @@ class AggregationSampler:
         block_until_ready would strictly alternate host and device work.
         In-flight dispatches are bounded by a sliding window so a huge tile
         never holds every chunk's x_T/cond/output in HBM at once; gathering
-        chunk k-W while k runs still overlaps host and device."""
+        chunk k-W while k runs still overlaps host and device.
+
+        Partial-consumption contract (ADVICE round-4): if a consumer
+        abandons iteration early (exception in a blend loop, generator
+        close), the already-dispatched device computations are NOT gathered
+        — they complete asynchronously on the device and their buffers are
+        released when the pending references drop (the ``finally`` below
+        makes that release explicit and immediate). No device work is
+        cancelled; abandoning mid-iteration wastes at most MAX_IN_FLIGHT
+        chunks of compute and leaks nothing."""
         if self.ddim_steps is not None:
             sampler = self.process.ddim_sampler(
                 self.ddim_steps, self.ddim_eta,
@@ -216,33 +225,39 @@ class AggregationSampler:
 
         MAX_IN_FLIGHT = 4
         pending: List[Tuple[int, int, jnp.ndarray]] = []
-        for start, size in self._chunk_plan(n):
-            key, k_init, k_samp = jax.random.split(key, 3)
-            # wrap-around pad within the remainder chunk
-            block = block_fn(np.arange(start, start + size) % n)
-            cond = jnp.asarray(block)
-            if self.start_t is not None:
-                from diffusionremotesensing_tpu.diffusion import warm_start_state
-                from diffusionremotesensing_tpu.ops.resize import upsample_bicubic
+        try:
+            for start, size in self._chunk_plan(n):
+                key, k_init, k_samp = jax.random.split(key, 3)
+                # wrap-around pad within the remainder chunk
+                block = block_fn(np.arange(start, start + size) % n)
+                cond = jnp.asarray(block)
+                if self.start_t is not None:
+                    from diffusionremotesensing_tpu.diffusion import warm_start_state
+                    from diffusionremotesensing_tpu.ops.resize import upsample_bicubic
 
-                # warm start: q-sample each patch's bicubic upsample (the
-                # same torch-parity resize the model's cond stem uses) to
-                # t=start_t instead of drawing pure noise at t=T-1
-                init = upsample_bicubic(cond, self.mag)
-                x_T = warm_start_state(
-                    self.process.schedule, init, self.start_t, k_init
-                )
-            else:
-                x_T = jax.random.normal(k_init, (size, hr, hr, block.shape[-1]))
-            if self.mesh is not None:
-                cond = jax.device_put(cond, bs)
-                x_T = jax.device_put(x_T, bs)
-            pending.append((start, min(size, n - start), sampler(variables, k_samp, x_T, cond)))
-            if len(pending) >= MAX_IN_FLIGHT:  # cap in-flight chunks at the bound
-                s, k, o = pending.pop(0)
+                    # warm start: q-sample each patch's bicubic upsample (the
+                    # same torch-parity resize the model's cond stem uses) to
+                    # t=start_t instead of drawing pure noise at t=T-1
+                    init = upsample_bicubic(cond, self.mag)
+                    x_T = warm_start_state(
+                        self.process.schedule, init, self.start_t, k_init
+                    )
+                else:
+                    x_T = jax.random.normal(k_init, (size, hr, hr, block.shape[-1]))
+                if self.mesh is not None:
+                    cond = jax.device_put(cond, bs)
+                    x_T = jax.device_put(x_T, bs)
+                pending.append((start, min(size, n - start), sampler(variables, k_samp, x_T, cond)))
+                if len(pending) >= MAX_IN_FLIGHT:  # cap in-flight chunks at the bound
+                    s, k, o = pending.pop(0)
+                    yield s, k, np.asarray(o)
+            for s, k, o in pending:
                 yield s, k, np.asarray(o)
-        for s, k, o in pending:
-            yield s, k, np.asarray(o)
+        finally:
+            # abandoned iteration: drop in-flight dispatch references NOW so
+            # their HBM buffers free as each computation retires (see the
+            # partial-consumption contract above)
+            pending.clear()
 
     def sample_patches(self, variables, patches: np.ndarray, key: jax.Array) -> np.ndarray:
         """Denoise all patches, chunked to a static per-call batch."""

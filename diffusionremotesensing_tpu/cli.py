@@ -96,12 +96,24 @@ def _select_device(name: Optional[str]):
         return jax.devices()[0]
 
 
-def create_variables(model, image_size: int, seed: int = 0, device=None):
+def _train_seed(default: int = 0) -> int:
+    """DRS_TRAIN_SEED overrides the training seed (model init + the
+    Trainer's noise/shuffle streams). An env knob, not a CLI flag — the
+    flag surface mirrors the reference (which has no seed flag); used to
+    replicate learning-gate trainings across seeds (NOTES.md round-5)."""
+    return int(os.environ.get("DRS_TRAIN_SEED", default))
+
+
+def create_variables(model, image_size: int, seed: Optional[int] = None, device=None):
     """Initialize model variables on the CPU backend (fast eager compile)
-    and transfer to the target device."""
+    and transfer to the target device. ``seed`` defaults to DRS_TRAIN_SEED
+    (0 when unset)."""
     import jax
 
     from diffusionremotesensing_tpu.models.unet import init_unet_params
+
+    if seed is None:
+        seed = _train_seed()
 
     try:
         cpu = jax.devices("cpu")[0]
@@ -207,6 +219,7 @@ def _build_trainer(model, args, image_size, label_dropout=0.0, mesh=None,
         batch_transform=batch_transform,
         checkpoint_backend=getattr(args, "checkpoint_backend", "msgpack"),
         steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
+        seed=_train_seed(),
     )
 
 

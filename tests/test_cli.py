@@ -272,3 +272,28 @@ def test_train_superres_cli_device_degradation(workdir):
         workdir,
     )
     assert os.path.exists(os.path.join(workdir, "models_run", "smoke_dd", "weights", "snapshot.pt"))
+
+
+def test_train_seed_env_knob(monkeypatch):
+    """DRS_TRAIN_SEED (env knob, not a CLI flag — the flag surface mirrors
+    the reference, which has no seed flag) reseeds model init; used to
+    replicate learning-gate trainings across seeds (NOTES.md round-5)."""
+    import jax.numpy as jnp
+
+    from diffusionremotesensing_tpu.cli import _train_seed, create_variables
+    from diffusionremotesensing_tpu.models.unet import (
+        residual_attention_unet_superres,
+    )
+
+    monkeypatch.delenv("DRS_TRAIN_SEED", raising=False)
+    assert _train_seed() == 0
+    monkeypatch.setenv("DRS_TRAIN_SEED", "7")
+    assert _train_seed() == 7
+
+    model = residual_attention_unet_superres(magnification_factor=2)
+    v7 = create_variables(model, 16)
+    monkeypatch.setenv("DRS_TRAIN_SEED", "0")
+    v0 = create_variables(model, 16)
+    a = v7["params"]["conv0"]["conv"]["kernel"]
+    b = v0["params"]["conv0"]["conv"]["kernel"]
+    assert a.shape == b.shape and not jnp.allclose(a, b)

@@ -36,9 +36,16 @@ def test_serving_bench_soak_smoke():
     """--soak mode: sustained mixed traffic; key-reuse + leak checks wired."""
     from benchmarks.serving_bench import soak
 
-    out = soak(max_batch=2, seconds=4, n_threads=2, ddim_steps=2)
+    out = soak(max_batch=2, seconds=4, n_threads=2, ddim_steps=2,
+               tile_threads=1)
     assert out["mode"] == "soak"
     assert out["requests_failed"] == 0, out["errors_sample"]
     assert out["requests_ok"] > 0
     assert out["all_outputs_distinct"] is True
     assert out["sustained_req_per_s"] > 0
+    # tile endpoint is a first-class soak subject (dedicated client thread)
+    assert out["tile_requests"] > 0
+    assert out["tile_p50_s"] is not None
+    # rates are over the requested window; the drain tail is separate
+    assert out["soak_seconds"] == 4
+    assert out["drain_seconds"] >= 0
