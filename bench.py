@@ -270,14 +270,10 @@ def _wait_for_tpu():
         time.sleep(60)
 
 
-def main():
-    # makes the bench smokeable in CI / during tunnel outages
-    from diffusionremotesensing_tpu.utils import force_cpu_if_requested
-
-    if not force_cpu_if_requested():
-        _wait_for_tpu()
-    n_patches = _patch_count()
-    t1500_reps, ddim_reps, kind = bench_tpu()
+def build_report(n_patches, t1500_reps, ddim_reps, kind, torch_rate) -> dict:
+    """Assemble the one-line JSON report from raw per-rep timings.
+    Factored from main() so the output contract (keys, aggregation rules)
+    is unit-testable without a TPU (tests/test_bench_wait.py)."""
     # headline stays best-of-3 (comparable with BENCH_r01-r04); the DDIM row
     # reports the MEDIAN with per-rep times + IQR so a single degraded tunnel
     # window is visible in the record instead of silently moving the number
@@ -293,47 +289,54 @@ def main():
     peak = BF16_PEAK.get(kind)
     mfu = (fwd_rate * FLOPS_PER_FWD / peak) if peak else None
 
-    torch_rate = bench_torch_baseline()
     torch_tile_s = fwd_per_tile / torch_rate if torch_rate else None
     vs = torch_tile_s / tile_s if torch_tile_s else None
 
-    print(
-        json.dumps(
-            {
-                "metric": "sr_tile256_x2_aggregation_patches_per_sec_per_chip",
-                "value": round(n_patches / tile_s, 3),
-                "unit": (
-                    "HR-128px patches/sec/chip (256px LR tile x2, patch 64/"
-                    "stride 32, 49 patches, T=1500 DDPM cosine, bf16, best-of-3)"
-                ),
-                "vs_baseline": round(vs, 1) if vs else None,
-                "tile_seconds_t1500": round(tile_s, 3),
-                # DDIM-100 with clip_x0 (the AggregationSampler default):
-                # 33.95 dB / 0.960 SSIM vs bicubic 23.97 / 0.854 on the
-                # 95k-step learning-gate snapshot (benchmarks/NOTES.md) —
-                # beats bicubic on BOTH metrics at this speed point.
-                # Median of 9 reps; per-rep list + IQR recorded so tunnel
-                # variance is visible (NOTES.md round-5 A/B).
-                "tile_seconds_ddim100": round(tile_ddim_s, 3),
-                "ddim100_rep_seconds": [round(t, 3) for t in ddim_reps],
-                "ddim100_iqr_seconds": round(ddim_iqr, 3),
-                "t1500_rep_seconds": [round(t, 3) for t in t1500_reps],
-                "unet_forwards_per_sec": round(fwd_rate, 1),
-                "mfu_pct": round(100 * mfu, 1) if mfu else None,
-                "device_kind": kind,
-                "torch_baseline": {
-                    "forwards_per_sec_cpu_batch1": round(torch_rate, 3) if torch_rate else None,
-                    "tile_seconds_extrapolated": round(torch_tile_s, 1) if torch_tile_s else None,
-                    "note": (
-                        "reference publishes no timings and no GPU is present; "
-                        "serial tile wall-clock extrapolated from measured "
-                        "per-forward CPU rate x 49 patches x 1499 steps "
-                        "(Aggregation_Sampling.py:94-95 runs patches serially)"
-                    ),
-                },
-            }
-        )
-    )
+    return {
+        "metric": "sr_tile256_x2_aggregation_patches_per_sec_per_chip",
+        "value": round(n_patches / tile_s, 3),
+        "unit": (
+            "HR-128px patches/sec/chip (256px LR tile x2, patch 64/"
+            "stride 32, 49 patches, T=1500 DDPM cosine, bf16, best-of-3)"
+        ),
+        "vs_baseline": round(vs, 1) if vs else None,
+        "tile_seconds_t1500": round(tile_s, 3),
+        # DDIM-100 with clip_x0 (the AggregationSampler default):
+        # 33.95 dB / 0.960 SSIM vs bicubic 23.97 / 0.854 on the
+        # 95k-step learning-gate snapshot (benchmarks/NOTES.md) —
+        # beats bicubic on BOTH metrics at this speed point.
+        # Median of 9 reps; per-rep list + IQR recorded so tunnel
+        # variance is visible (NOTES.md round-5 A/B).
+        "tile_seconds_ddim100": round(tile_ddim_s, 3),
+        "ddim100_rep_seconds": [round(t, 3) for t in ddim_reps],
+        "ddim100_iqr_seconds": round(ddim_iqr, 3),
+        "t1500_rep_seconds": [round(t, 3) for t in t1500_reps],
+        "unet_forwards_per_sec": round(fwd_rate, 1),
+        "mfu_pct": round(100 * mfu, 1) if mfu else None,
+        "device_kind": kind,
+        "torch_baseline": {
+            "forwards_per_sec_cpu_batch1": round(torch_rate, 3) if torch_rate else None,
+            "tile_seconds_extrapolated": round(torch_tile_s, 1) if torch_tile_s else None,
+            "note": (
+                "reference publishes no timings and no GPU is present; "
+                "serial tile wall-clock extrapolated from measured "
+                "per-forward CPU rate x 49 patches x 1499 steps "
+                "(Aggregation_Sampling.py:94-95 runs patches serially)"
+            ),
+        },
+    }
+
+
+def main():
+    # makes the bench smokeable in CI / during tunnel outages
+    from diffusionremotesensing_tpu.utils import force_cpu_if_requested
+
+    if not force_cpu_if_requested():
+        _wait_for_tpu()
+    n_patches = _patch_count()
+    t1500_reps, ddim_reps, kind = bench_tpu()
+    torch_rate = bench_torch_baseline()
+    print(json.dumps(build_report(n_patches, t1500_reps, ddim_reps, kind, torch_rate)))
 
 
 if __name__ == "__main__":

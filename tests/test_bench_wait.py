@@ -70,3 +70,24 @@ def test_wait_gives_up_at_deadline_and_proceeds(monkeypatch):
         AssertionError("must not sleep past the deadline")))
     bench._wait_for_tpu()
     assert calls == ["fail"]
+
+
+def test_build_report_contract():
+    """Pin the bench output contract: one JSON-serializable dict, headline
+    T=1500 = best-of-3, DDIM row = MEDIAN of reps with per-rep list + IQR
+    (variance-robustness added after the round-4 driver bench recorded a
+    tunnel-degraded best-of-9 with no per-rep evidence; NOTES.md round-5)."""
+    import json
+
+    ddim = [0.9, 0.85, 1.2, 0.87, 0.88, 0.86, 0.9, 0.91, 0.89]
+    r = bench.build_report(49, [7.1, 7.0, 7.2], ddim, "TPU v5 lite", 11.0)
+    json.dumps(r)  # serializable in one line
+    assert r["tile_seconds_t1500"] == 7.0              # best-of-3
+    assert r["tile_seconds_ddim100"] == 0.89           # median, not min
+    assert r["ddim100_rep_seconds"] == [round(t, 3) for t in ddim]
+    assert r["ddim100_iqr_seconds"] > 0
+    assert r["t1500_rep_seconds"] == [7.1, 7.0, 7.2]
+    assert r["mfu_pct"] and 0 < r["mfu_pct"] < 100
+    # no torch baseline -> None fields, report still builds
+    r2 = bench.build_report(49, [7.0], [1.0], "unknown-device", None)
+    assert r2["vs_baseline"] is None and r2["mfu_pct"] is None
