@@ -135,6 +135,7 @@ def test_aggregation_single_patch_pads_to_chunk():
     assert np.abs(out - expected).mean() < 0.08
 
 
+@pytest.mark.slow
 def test_aggregation_sharded_s2d_model():
     """The production configuration: s2d inference model + patch axis
     sharded over the mesh + hoisted cond/kernels. Must match the unsharded
@@ -225,6 +226,7 @@ def test_streaming_blend_sharded_mesh():
     assert np.abs(out - expected).mean() < 0.08
 
 
+@pytest.mark.slow
 def test_host_blend_scale_10k_patches():
     """Squarify-scale host-side blend: >=10k patches through the REAL
     streamed __call__ loop (the sampler is stubbed to the identity oracle so

@@ -86,6 +86,7 @@ def test_kernel_matches_xla_chain(hg):
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_model_fused_att_matches_s2d():
     """Full superres forward: fused_att=True == the plain s2d execution."""
     from diffusionremotesensing_tpu.models.unet import (
@@ -107,6 +108,7 @@ def test_model_fused_att_matches_s2d():
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_model_fused_att_fallback_odd_rows():
     """H/2 not a multiple of 8 -> the flag silently keeps the XLA path."""
     from diffusionremotesensing_tpu.models.unet import (
@@ -128,6 +130,7 @@ def test_model_fused_att_fallback_odd_rows():
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sampler_fused_att_matches_s2d():
     """Full reverse chain through make_process with fused_att=True."""
     from diffusionremotesensing_tpu.diffusion import make_process

@@ -39,6 +39,7 @@ def test_huber_matches_torch():
     )
 
 
+@pytest.mark.slow
 def test_pad_mask_weighted_loss_matches_unpadded():
     """With pad_mask weights (1 real / 0 pad), every loss and its gradient
     w.r.t. the REAL predictions must equal the unpadded computation exactly,

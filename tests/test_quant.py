@@ -10,6 +10,7 @@ quantized variables drive the real jitted samplers for both conv paths
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from diffusionremotesensing_tpu.diffusion import make_process
 from diffusionremotesensing_tpu.models.unet import (
@@ -88,6 +89,7 @@ def test_calibration_and_policy():
     assert len(kept) < len(ps)
 
 
+@pytest.mark.slow
 def test_quantized_forward_bounded_error_both_paths():
     for s2d in (True, False):
         model, v, x, t, cond = _superres_setup(s2d=s2d)

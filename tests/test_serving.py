@@ -316,6 +316,7 @@ def _rss_mb() -> float:
     return 0.0
 
 
+@pytest.mark.slow
 def test_soak_mixed_endpoints_under_concurrency():
     """Sustained-concurrency soak (VERDICT round-3 item 6): many client
     threads x many requests across mixed endpoints (/superres micro-batched,

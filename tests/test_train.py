@@ -5,6 +5,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from diffusionremotesensing_tpu import io as dio
 from diffusionremotesensing_tpu.data.loader import DataLoader
@@ -125,6 +126,7 @@ def test_validation_early_stopping(tmp_path):
     assert os.path.exists(trainer.snapshot_path)
 
 
+@pytest.mark.slow
 def test_padded_batch_loss_and_grads_match_unpadded(tmp_path):
     """A final batch wrap-padded by a WHOLE replication (4 real rows -> 8)
     must yield the identical loss and parameter gradients as the unpadded
