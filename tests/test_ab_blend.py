@@ -8,6 +8,9 @@ import sys
 
 import pytest
 
+# four full (tiny-)tile sampler runs on CPU -> slow tail, round gate only
+pytestmark = pytest.mark.slow
+
 
 def test_ab_blend_smoke(monkeypatch, capsys):
     import bench

@@ -33,6 +33,11 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 NPROC = 2
 
+# the real 2-process gloo job is the suite's single largest cost (~5-11 min
+# for the module fixture) and is load-sensitive (the 30 s gloo rendezvous
+# KV timeout can be blown on a saturated host) -> slow tail, round gate only
+pytestmark = pytest.mark.slow
+
 
 def _free_port() -> int:
     s = socket.socket()

@@ -8,6 +8,7 @@ import urllib.request
 
 import jax
 import numpy as np
+import pytest
 from PIL import Image
 
 from diffusionremotesensing_tpu.models.unet import (
