@@ -80,15 +80,20 @@ def _launch_workers(outdir: str):
 
 @pytest.fixture(scope="module")
 def mp_results(tmp_path_factory):
-    # one retry on a fresh port: the coordinator port is picked
-    # bind-then-release, so a rare race (or a heavily loaded host delaying
-    # the gloo rendezvous) can fail a first attempt spuriously
-    for attempt in (0, 1):
+    # retries on fresh ports: the coordinator port is picked
+    # bind-then-release, so a rare race can fail an attempt spuriously —
+    # and the gloo rendezvous has a hard 30 s KV timeout inside XLA that a
+    # saturated host can blow (observed when a TPU training hammered the
+    # host concurrently: both of 2 attempts timed out; round-5 durations
+    # run). Three attempts ride out a transient load spike; a genuinely
+    # broken distributed path still fails all three.
+    attempts = (0, 1, 2)
+    for attempt in attempts:
         outdir = str(tmp_path_factory.mktemp(f"mp{attempt}"))
         procs, outs = _launch_workers(outdir)
         if all(p.returncode == 0 for p in procs):
             break
-        if attempt == 1:
+        if attempt == attempts[-1]:
             for p, out in zip(procs, outs):
                 assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
     results = {}
