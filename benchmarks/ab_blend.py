@@ -89,14 +89,14 @@ def main():
             # same keys -> identical outputs; assert so the A/B can't be
             # comparing different computations
             assert np.array_equal(a, b), "streamed != gather output"
+
         def stats(ts):
-            s = sorted(ts)
-            return {
-                "reps": [round(t, 4) for t in ts],
-                "median": round(s[len(s) // 2], 4),
-                "min": round(s[0], 4),
-                "iqr": round(s[(3 * len(s)) // 4] - s[len(s) // 4], 4),
-            }
+            # aggregation definition shared with bench.build_report
+            from bench import rep_stats
+
+            return {"reps": [round(t, 4) for t in ts],
+                    **{k: round(v, 4) for k, v in rep_stats(ts).items()}}
+
         return {"streamed": stats(streamed), "gather": stats(gathered)}
 
     out = {

@@ -182,9 +182,10 @@ def bench_northstar_tile():
     import bench
 
     t1500_reps, ddim_reps, kind = bench.bench_tpu()
-    # same aggregation as bench.build_report: best-of-3 headline, DDIM median
+    # aggregation shared with bench.build_report (bench.rep_stats): best-of-3
+    # headline, DDIM median — one definition, so the files can't diverge
     tile_s = min(t1500_reps)
-    tile_ddim_s = sorted(ddim_reps)[len(ddim_reps) // 2]
+    tile_ddim_s = bench.rep_stats(ddim_reps)["median"]
     n_patches = bench._patch_count()
     return {
         "tile_seconds_t1500": tile_s,

@@ -177,7 +177,19 @@ def soak(max_batch: int, seconds: float, n_threads: int,
     (the post-stop drain is reported separately, not folded into QPS —
     ADVICE round-4). The NOTES.md sustained-QPS rows come from this mode
     (VERDICT round-3 item 6; tile-first-class mix per VERDICT round-4
-    item 2)."""
+    item 2).
+
+    Caveat on the quarter-granularity starvation check: a class whose
+    per-request latency approaches seconds/4 can show an empty quarter on a
+    healthy server — read `no_starvation` together with the per-quarter
+    counts and latencies. A class with zero assigned threads is excluded
+    (reported as vacuously non-starved)."""
+    if not 0 <= tile_threads < n_threads:
+        raise ValueError(
+            f"tile_threads ({tile_threads}) must be < soak threads "
+            f"({n_threads}) and >= 0 — with no /superres workers the "
+            "'mixed-endpoint' soak would silently measure nothing"
+        )
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -315,8 +327,13 @@ def soak(max_batch: int, seconds: float, n_threads: int,
         "tile_p95_s": round(_percentile(tl, 95), 3) if tl else None,
         "tile_per_quarter": tl_q,
         # both endpoint classes completed work in every quarter of the
-        # window -> neither starved behind the other's lock
-        "no_starvation": all(q > 0 for q in sr_q) and all(q > 0 for q in tl_q),
+        # window -> neither starved behind the other's lock (classes with
+        # no assigned threads are vacuously non-starved; see docstring for
+        # the latency-vs-quarter granularity caveat)
+        "no_starvation": (
+            all(q > 0 for q in sr_q)
+            and (tile_threads == 0 or all(q > 0 for q in tl_q))
+        ),
         "all_outputs_distinct": len(outs) == n_ok,
         "rss_growth_mb": round(rss1 - rss0, 1),
         "errors_sample": errors[:3],

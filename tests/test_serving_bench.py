@@ -8,6 +8,8 @@ Exists because an unexercised benchmark entrypoint once shipped broken
 at HEAD); every benchmarks/ entrypoint now gets at least a smoke test.
 """
 
+import pytest
+
 from benchmarks.serving_bench import _percentile, bench
 
 
@@ -42,10 +44,22 @@ def test_serving_bench_soak_smoke():
     assert out["requests_failed"] == 0, out["errors_sample"]
     assert out["requests_ok"] > 0
     assert out["all_outputs_distinct"] is True
-    assert out["sustained_req_per_s"] > 0
+    # rates count only in-window completions BY DESIGN (ADVICE round-4);
+    # on a heavily loaded host every completion of this 4 s smoke can land
+    # in the drain, so assert on completion facts, not the windowed rate
+    assert out["sustained_req_per_s"] >= 0
+    assert out["latency_p50_s"] is not None
     # tile endpoint is a first-class soak subject (dedicated client thread)
     assert out["tile_requests"] > 0
     assert out["tile_p50_s"] is not None
     # rates are over the requested window; the drain tail is separate
     assert out["soak_seconds"] == 4
     assert out["drain_seconds"] >= 0
+
+
+def test_soak_rejects_degenerate_thread_split():
+    """tile_threads >= n_threads would silently soak nothing on /superres."""
+    from benchmarks.serving_bench import soak
+
+    with pytest.raises(ValueError):
+        soak(max_batch=2, seconds=1, n_threads=2, ddim_steps=2, tile_threads=2)
